@@ -1,0 +1,95 @@
+"""Impression-grouped evaluators.
+
+Behavioral contract follows the reference evaluators (reference:
+src/evaluation.py:87-175):
+
+  * ``FastEvaluator``: fixed-size (1+npratio) eval batches; probabilities via
+    softmax over the candidate row; targets taken directly in dataset order.
+  * ``ImpressionEvaluator`` (the reference's ``SlowEvaluator``): per-candidate
+    sigmoid probabilities grouped by impression id, both targets and
+    predictions sorted by impression id; ``save_predictions`` dumps a
+    ``preds.pkl`` with the same dict layout for notebook compatibility.
+
+Grouping happens host-side in numpy: the device produces a flat score vector
+per batch; the O(N) group-by is not worth a device round trip.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from collections import defaultdict
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from miner_tpu.evaluation.metrics import compute_scores
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.asarray(x, dtype=np.float64)))
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class FastEvaluator:
+    """Eval over train-format batches: one (1+npratio) row per sample."""
+
+    def __init__(self, targets: Sequence[Sequence[int]]):
+        self.targets: List[List[int]] = [list(t) for t in targets]
+        self.prob_predictions: List[List[float]] = []
+
+    def eval_batch(self, logits: np.ndarray, impression_ids: np.ndarray | None = None,
+                   valid: int | None = None):
+        probs = _softmax(np.asarray(logits))
+        if valid is not None:
+            probs = probs[:valid]
+        self.prob_predictions.extend(probs.tolist())
+
+    def compute_scores(self, metrics: Sequence[str], save_result: bool = False,
+                       path: str | None = None) -> Dict[str, float]:
+        n = min(len(self.targets), len(self.prob_predictions))
+        return compute_scores(
+            self.targets[:n], self.prob_predictions[:n], metrics, save_result, path
+        )
+
+
+class ImpressionEvaluator:
+    """Eval over per-candidate rows grouped by impression id."""
+
+    def __init__(self, targets_by_impression: Dict[int, List[int]]):
+        # Sorted by impression id, matching the reference's sorted() grouping.
+        self._sorted_ids = sorted(targets_by_impression)
+        self.targets: List[List[int]] = [targets_by_impression[i] for i in self._sorted_ids]
+        self.prob_predictions: List[float] = []
+        self.impression_ids: List[int] = []
+
+    def eval_batch(self, logits: np.ndarray, impression_ids: np.ndarray,
+                   valid: int | None = None):
+        logits = np.asarray(logits).reshape(-1)
+        impression_ids = np.asarray(impression_ids).reshape(-1)
+        if valid is not None:
+            logits = logits[:valid]
+            impression_ids = impression_ids[:valid]
+        self.prob_predictions.extend(_sigmoid(logits).tolist())
+        self.impression_ids.extend(impression_ids.tolist())
+
+    def _grouped_predictions(self) -> List[List[float]]:
+        groups: Dict[int, List[float]] = defaultdict(list)
+        for prob, imp_id in zip(self.prob_predictions, self.impression_ids):
+            groups[int(imp_id)].append(float(prob))
+        return [groups[i] for i in sorted(groups)]
+
+    def compute_scores(self, metrics: Sequence[str], save_result: bool = False,
+                       path: str | None = None) -> Dict[str, float]:
+        preds = self._grouped_predictions()
+        return compute_scores(self.targets, preds, metrics, save_result, path)
+
+    def save_predictions(self, path: str):
+        pred_dict = {"pred": self.prob_predictions, "impression_id": self.impression_ids}
+        with open(os.path.join(path, "preds.pkl"), "wb") as f:
+            pickle.dump(pred_dict, f)

@@ -1,0 +1,230 @@
+"""A BERT/RoBERTa-family pretrained-language-model tower in Flax.
+
+This replaces the reference's use of HuggingFace ``RobertaModel``/``BertModel``
+(reference: src/model/news_encoder.py:11-110) with a native JAX implementation
+designed for TPU:
+
+  * one fused QKV projection per layer (a single large MXU matmul),
+  * bf16 compute / fp32 params and fp32 LayerNorm statistics,
+  * static shapes throughout — no data-dependent control flow under jit,
+  * optional per-layer rematerialization (``jax.checkpoint``) to trade FLOPs
+    for HBM when history towers make the activation footprint large.
+
+Weights can be imported from HuggingFace checkpoints via
+``miner_tpu.models.hf_import`` when checkpoint files are available; otherwise
+the tower initializes with the standard truncated-normal(0.02) scheme.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class PLMConfig:
+    """Architecture hyperparameters for the transformer tower.
+
+    ``position_offset`` encodes the RoBERTa convention where position ids
+    start at ``pad_token_id + 1`` (=2 for roberta-base); BERT uses 0.
+    """
+
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 514
+    type_vocab_size: int = 1
+    layer_norm_eps: float = 1e-5
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    pad_token_id: int = 1
+    position_offset: int = 2
+    initializer_range: float = 0.02
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @staticmethod
+    def roberta_base() -> "PLMConfig":
+        return PLMConfig()
+
+    @staticmethod
+    def bert_base() -> "PLMConfig":
+        return PLMConfig(
+            vocab_size=30522,
+            max_position_embeddings=512,
+            type_vocab_size=2,
+            layer_norm_eps=1e-12,
+            pad_token_id=0,
+            position_offset=0,
+        )
+
+    @staticmethod
+    def tiny(vocab_size: int = 1024) -> "PLMConfig":
+        """A small config for tests and CI (CPU-friendly)."""
+        return PLMConfig(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=256,
+            type_vocab_size=2,
+            pad_token_id=0,
+            position_offset=0,
+        )
+
+
+def dense_init(cfg: PLMConfig):
+    return nn.initializers.normal(stddev=cfg.initializer_range)
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with a fused QKV projection."""
+
+    cfg: PLMConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic: bool):
+        cfg = self.cfg
+        B, L, D = x.shape
+        qkv = nn.Dense(
+            3 * D, dtype=self.dtype, kernel_init=dense_init(cfg), name="qkv"
+        )(x)
+        qkv = qkv.reshape(B, L, 3, cfg.num_heads, cfg.head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, dtype=jnp.float32))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        logits = logits + attn_bias  # (B, 1, 1, L) additive mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(rate=cfg.attention_dropout)(
+            probs, deterministic=deterministic
+        )
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, D)
+        out = nn.Dense(
+            D, dtype=self.dtype, kernel_init=dense_init(cfg), name="out"
+        )(ctx)
+        return out
+
+
+class TransformerLayer(nn.Module):
+    """Post-LN transformer block (BERT layout: attn -> add&LN -> FFN -> add&LN)."""
+
+    cfg: PLMConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, deterministic: bool):
+        cfg = self.cfg
+        attn_out = SelfAttention(cfg, dtype=self.dtype, name="attention")(
+            x, attn_bias, deterministic
+        )
+        attn_out = nn.Dropout(rate=cfg.hidden_dropout)(
+            attn_out, deterministic=deterministic
+        )
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attention_ln"
+        )(x + attn_out).astype(self.dtype)
+
+        h = nn.Dense(
+            cfg.intermediate_size,
+            dtype=self.dtype,
+            kernel_init=dense_init(cfg),
+            name="ffn_in",
+        )(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(
+            cfg.hidden_size, dtype=self.dtype, kernel_init=dense_init(cfg), name="ffn_out"
+        )(h)
+        h = nn.Dropout(rate=cfg.hidden_dropout)(h, deterministic=deterministic)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ffn_ln"
+        )(x + h).astype(self.dtype)
+        return x
+
+
+class Embeddings(nn.Module):
+    cfg: PLMConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, deterministic: bool):
+        cfg = self.cfg
+        B, L = input_ids.shape
+        word = nn.Embed(
+            cfg.vocab_size,
+            cfg.hidden_size,
+            embedding_init=dense_init(cfg),
+            dtype=self.dtype,
+            name="word_embeddings",
+        )(input_ids)
+        position_ids = jnp.arange(L, dtype=jnp.int32)[None, :] + cfg.position_offset
+        pos = nn.Embed(
+            cfg.max_position_embeddings,
+            cfg.hidden_size,
+            embedding_init=dense_init(cfg),
+            dtype=self.dtype,
+            name="position_embeddings",
+        )(position_ids)
+        typ = nn.Embed(
+            cfg.type_vocab_size,
+            cfg.hidden_size,
+            embedding_init=dense_init(cfg),
+            dtype=self.dtype,
+            name="token_type_embeddings",
+        )(token_type_ids)
+        x = word + pos + typ
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln"
+        )(x).astype(self.dtype)
+        x = nn.Dropout(rate=cfg.hidden_dropout)(x, deterministic=deterministic)
+        return x
+
+
+class TransformerPLM(nn.Module):
+    """The full encoder tower. Returns the last hidden states (B, L, D)."""
+
+    cfg: PLMConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: jax.Array,
+        token_type_ids: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        x = Embeddings(cfg, dtype=self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic
+        )
+        # Additive attention bias: 0 where attended, large negative where masked.
+        attn_bias = jnp.where(
+            attention_mask[:, None, None, :].astype(bool), 0.0, -1e9
+        ).astype(jnp.float32)
+
+        layer_cls = TransformerLayer
+        if cfg.remat:
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(2,))
+        for i in range(cfg.num_layers):
+            x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
+                x, attn_bias, deterministic
+            )
+        return x
+
+    def cls(self, *args, **kwargs) -> jax.Array:
+        """First-token (CLS) representation, (B, D)."""
+        return self(*args, **kwargs)[:, 0, :]

@@ -1,0 +1,108 @@
+"""UnBERT: single-tower cross-encoder for news recommendation.
+
+Behavioral contract follows the reference (reference:
+src/model/model_unbert.py:18-289):
+
+  * the candidate title and the user's clicked titles are packed into one
+    token sequence ``[CLS] cand [SEP] hist_1 [SEP] ... hist_n [SEP]`` with
+    per-news *news-segment* embeddings (vocab of 64 segments) added on top of
+    the standard word/position/token-type embeddings;
+  * a word-level transformer encodes the packed sequence;
+  * ``nseg`` aggregation gathers the hidden state at each news' first token
+    (positions given by ``sentence_ids``) to form a news-level sequence, which
+    a second transformer encodes;
+  * the head concatenates the word-level CLS and news-level CLS and projects
+    to 2 logits, returning ``logits[:, 1]`` as the click score.
+
+Only the ``nseg`` news aggregation mode is implemented — it is the reference
+default and the only gather-based mode with static shapes; ``mean`` /
+``attention`` modes used dynamic per-row segment sums that do not map to TPU
+and were unused by the experiment configs.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from miner_tpu.models.plm import (
+    PLMConfig,
+    TransformerLayer,
+    dense_init,
+)
+
+Dtype = Any
+
+NUM_NEWS_SEGMENTS = 64
+
+
+class UNBert(nn.Module):
+    cfg: PLMConfig
+    num_news_layers: int | None = None  # defaults to cfg.num_layers
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jax.Array], deterministic: bool = True) -> jax.Array:
+        """Inputs (all (B, L) / (B, S)):
+
+        input_ids, input_mask, segment_ids (token type), news_segment_ids,
+        sentence_ids (first-token position of each news), sentence_mask.
+        Returns click scores (B,).
+        """
+        cfg = self.cfg
+        input_ids = batch["input_ids"]
+        B, L = input_ids.shape
+
+        word = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, embedding_init=dense_init(cfg),
+            dtype=self.dtype, name="word_embeddings",
+        )(input_ids)
+        pos_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
+        pos = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size,
+            embedding_init=dense_init(cfg), dtype=self.dtype,
+            name="position_embeddings",
+        )(pos_ids)
+        typ = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, embedding_init=dense_init(cfg),
+            dtype=self.dtype, name="token_type_embeddings",
+        )(batch["segment_ids"])
+        seg = nn.Embed(
+            NUM_NEWS_SEGMENTS, cfg.hidden_size, embedding_init=dense_init(cfg),
+            dtype=self.dtype, name="news_segment_embeddings",
+        )(batch["news_segment_ids"])
+        x = word + pos + typ + seg
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="emb_ln")(
+            x
+        ).astype(self.dtype)
+        x = nn.Dropout(rate=cfg.hidden_dropout)(x, deterministic=deterministic)
+
+        word_bias = jnp.where(
+            batch["input_mask"][:, None, None, :].astype(bool), 0.0, -1e9
+        ).astype(jnp.float32)
+        for i in range(cfg.num_layers):
+            x = TransformerLayer(cfg, dtype=self.dtype, name=f"word_layer_{i}")(
+                x, word_bias, deterministic
+            )
+
+        # nseg aggregation: gather the hidden state at each news' first token.
+        sentence_ids = batch["sentence_ids"]  # (B, S) positions into L
+        news_seq = jnp.take_along_axis(x, sentence_ids[..., None], axis=1)  # (B, S, D)
+
+        news_bias = jnp.where(
+            batch["sentence_mask"][:, None, None, :].astype(bool), 0.0, -1e9
+        ).astype(jnp.float32)
+        y = news_seq
+        n_news_layers = self.num_news_layers or cfg.num_layers
+        for i in range(n_news_layers):
+            y = TransformerLayer(cfg, dtype=self.dtype, name=f"news_layer_{i}")(
+                y, news_bias, deterministic
+            )
+
+        hidden = jnp.concatenate([x[:, 0, :], y[:, 0, :]], axis=-1)
+        logits = nn.Dense(
+            2, dtype=self.dtype, kernel_init=dense_init(cfg), name="score_head"
+        )(hidden)
+        return logits[:, 1]

@@ -1,0 +1,263 @@
+"""Model-block tests: shapes, masking semantics, parity with reference math."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from miner_tpu.models import (
+    Fastformer,
+    FastformerUserModel,
+    Miner,
+    NewsEncoder,
+    NewsEncoderMoe,
+    MoEAdaptor,
+    PLMConfig,
+    PolyAttention,
+    TargetAwareAttention,
+    TransformerPLM,
+    UNBert,
+    UniSRec,
+)
+from miner_tpu.models.fastformer import FastformerConfig
+from miner_tpu.utils import pairwise_cosine_similarity
+
+TINY = PLMConfig.tiny()
+
+
+def _make_batch(rng, B=2, C=3, H=5, Lt=8, Ls=12, vocab=1000, n_cat=7):
+    def ids(shape):
+        return rng.integers(1, vocab, size=shape).astype(np.int32)
+
+    def mask(shape):
+        m = np.ones(shape, dtype=np.int32)
+        return m
+
+    batch = {
+        "cand_title": ids((B, C, Lt)),
+        "cand_title_mask": mask((B, C, Lt)),
+        "cand_sapo": ids((B, C, Ls)),
+        "cand_sapo_mask": mask((B, C, Ls)),
+        "cand_category": rng.integers(1, n_cat, size=(B, C)).astype(np.int32),
+        "his_title": ids((B, H, Lt)),
+        "his_title_mask": mask((B, H, Lt)),
+        "his_sapo": ids((B, H, Ls)),
+        "his_sapo_mask": mask((B, H, Ls)),
+        "his_category": rng.integers(1, n_cat, size=(B, H)).astype(np.int32),
+        "his_mask": np.ones((B, H), dtype=np.int32),
+    }
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_plm_shapes_and_mask_invariance(rng):
+    """Padded tokens must not influence unmasked positions."""
+    model = TransformerPLM(TINY)
+    ids = jnp.asarray(rng.integers(1, 1000, size=(2, 10)).astype(np.int32))
+    mask = jnp.asarray(np.array([[1] * 6 + [0] * 4, [1] * 10], dtype=np.int32))
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    out = model.apply(params, ids, mask)
+    assert out.shape == (2, 10, TINY.hidden_size)
+
+    # change the padded tokens -> outputs at valid positions unchanged
+    ids2 = ids.at[0, 6:].set(999)
+    out2 = model.apply(params, ids2, mask)
+    np.testing.assert_allclose(out[0, :6], out2[0, :6], atol=1e-5)
+
+
+def test_poly_attention_masking(rng):
+    B, H, D, K, P = 2, 6, 16, 4, 8
+    emb = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    mask = jnp.asarray(np.array([[1, 1, 1, 0, 0, 0], [1] * 6], dtype=np.int32))
+    model = PolyAttention(num_context_codes=K, context_code_dim=P)
+    params = model.init(jax.random.PRNGKey(0), emb, mask)
+    out = model.apply(params, emb, mask)
+    assert out.shape == (B, K, D)
+    # Perturb masked history rows -> output unchanged (neg-inf masking)
+    emb2 = emb.at[0, 3:].set(100.0)
+    out2 = model.apply(params, emb2, mask)
+    np.testing.assert_allclose(out[0], out2[0], atol=1e-5)
+
+
+def test_poly_attention_legacy_mask_differs(rng):
+    """legacy 1e-30 fill reproduces the reference quirk: padded rows DO get weight."""
+    B, H, D, K, P = 1, 4, 8, 2, 4
+    emb = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+    mask = jnp.asarray(np.array([[1, 1, 0, 0]], dtype=np.int32))
+    m_new = PolyAttention(num_context_codes=K, context_code_dim=P)
+    m_old = PolyAttention(num_context_codes=K, context_code_dim=P, legacy_mask=True)
+    params = m_new.init(jax.random.PRNGKey(0), emb, mask)
+    out_new = m_new.apply(params, emb, mask)
+    out_old = m_old.apply(params, emb, mask)
+    assert not np.allclose(np.asarray(out_new), np.asarray(out_old))
+
+
+def test_target_aware_attention_shapes(rng):
+    B, K, C, D = 2, 4, 5, 16
+    q = jnp.asarray(rng.normal(size=(B, K, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, C, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, C, K)).astype(np.float32))
+    model = TargetAwareAttention(embed_dim=D)
+    params = model.init(jax.random.PRNGKey(0), q, k, v)
+    out = model.apply(params, q, k, v)
+    assert out.shape == (B, C)
+
+
+def test_target_aware_attention_matches_torch(rng):
+    """Parity with the reference math (softmax(key @ gelu(Wq)^T) . value)."""
+    import torch
+
+    B, K, C, D = 2, 3, 4, 8
+    q = rng.normal(size=(B, K, D)).astype(np.float32)
+    k = rng.normal(size=(B, C, D)).astype(np.float32)
+    v = rng.normal(size=(B, C, K)).astype(np.float32)
+    model = TargetAwareAttention(embed_dim=D)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    W = np.asarray(params["params"]["proj"]["kernel"])  # (D, D)
+
+    got = np.asarray(model.apply(params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+
+    tq, tk, tv = torch.tensor(q), torch.tensor(k), torch.tensor(v)
+    proj = torch.nn.functional.gelu(tq @ torch.tensor(W))
+    weights = torch.softmax(tk @ proj.permute(0, 2, 1), dim=2)
+    want = (weights * tv).sum(dim=2).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pairwise_cosine_matches_torch(rng):
+    import torch
+
+    x = rng.normal(size=(2, 4, 8)).astype(np.float32)
+    y = rng.normal(size=(2, 5, 8)).astype(np.float32)
+    got = np.asarray(pairwise_cosine_similarity(jnp.asarray(x), jnp.asarray(y)))
+    tx, ty = torch.tensor(x), torch.tensor(y)
+    xn = torch.linalg.norm(tx, dim=2, keepdim=True)
+    yn = torch.linalg.norm(ty, dim=2, keepdim=True)
+    want = ((tx / xn) @ (ty / yn).permute(0, 2, 1)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_news_encoder_linear_combine(rng):
+    enc = NewsEncoder(plm_cfg=TINY, apply_reduce_dim=True, word_embed_dim=32,
+                      use_sapo=True, combine_type="linear")
+    title = jnp.asarray(rng.integers(1, 1000, size=(4, 8)).astype(np.int32))
+    tmask = jnp.ones((4, 8), dtype=jnp.int32)
+    sapo = jnp.asarray(rng.integers(1, 1000, size=(4, 12)).astype(np.int32))
+    smask = jnp.ones((4, 12), dtype=jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), title, tmask, sapo, smask)
+    out = enc.apply(params, title, tmask, sapo, smask)
+    assert out.shape == (4, 32)
+
+
+def test_news_encoder_lstm_combine(rng):
+    enc = NewsEncoder(plm_cfg=TINY, apply_reduce_dim=True, word_embed_dim=32,
+                      use_sapo=True, combine_type="lstm")
+    title = jnp.asarray(rng.integers(1, 1000, size=(4, 8)).astype(np.int32))
+    tmask = jnp.ones((4, 8), dtype=jnp.int32)
+    sapo = jnp.asarray(rng.integers(1, 1000, size=(4, 12)).astype(np.int32))
+    smask = jnp.ones((4, 12), dtype=jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), title, tmask, sapo, smask)
+    out = enc.apply(params, title, tmask, sapo, smask)
+    assert out.shape == (4, 32)
+
+
+def test_news_encoder_title_only(rng):
+    enc = NewsEncoder(plm_cfg=TINY, apply_reduce_dim=False, use_sapo=False)
+    title = jnp.asarray(rng.integers(1, 1000, size=(4, 8)).astype(np.int32))
+    tmask = jnp.ones((4, 8), dtype=jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), title, tmask)
+    out = enc.apply(params, title, tmask)
+    assert out.shape == (4, TINY.hidden_size)
+
+
+def test_miner_forward(rng):
+    enc = NewsEncoder(plm_cfg=TINY, apply_reduce_dim=True, word_embed_dim=32,
+                      use_sapo=True, combine_type="linear")
+    model = Miner(news_encoder=enc, use_category_bias=True, num_context_codes=4,
+                  context_code_dim=16, score_type="weighted", num_categories=7,
+                  category_embed_dim=8, category_pad_id=0)
+    batch = _make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    interests, scores = model.apply(params, batch)
+    assert interests.shape == (2, 4, 32)
+    assert scores.shape == (2, 3)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+@pytest.mark.parametrize("score_type", ["max", "mean"])
+def test_miner_score_types(rng, score_type):
+    enc = NewsEncoder(plm_cfg=TINY, apply_reduce_dim=True, word_embed_dim=32,
+                      use_sapo=False)
+    model = Miner(news_encoder=enc, use_category_bias=False, num_context_codes=4,
+                  context_code_dim=16, score_type=score_type)
+    batch = _make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    _, scores = model.apply(params, batch)
+    assert scores.shape == (2, 3)
+
+
+def test_fastformer_user_encoder(rng):
+    cfg = FastformerConfig(hidden_size=32, num_heads=4, intermediate_size=32,
+                           num_layers=2, max_position_embeddings=16)
+    model = Fastformer(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 6, 32)).astype(np.float32))
+    mask = jnp.asarray(np.array([[1, 1, 1, 1, 0, 0], [1] * 6], dtype=np.int32))
+    params = model.init(jax.random.PRNGKey(0), x, mask)
+    out = model.apply(params, x, mask)
+    assert out.shape == (2, 32)
+    # masked positions must not affect the pooled output
+    x2 = x.at[0, 4:].set(50.0)
+    out2 = model.apply(params, x2, mask)
+    np.testing.assert_allclose(out[0], out2[0], atol=1e-3)
+
+
+def test_fastformer_full_model(rng):
+    cfg = FastformerConfig(hidden_size=32, num_heads=4, intermediate_size=32,
+                           num_layers=2, max_position_embeddings=16)
+    enc = NewsEncoder(plm_cfg=TINY, apply_reduce_dim=True, word_embed_dim=32,
+                      use_sapo=True, combine_type="linear")
+    model = FastformerUserModel(news_encoder=enc, cfg=cfg)
+    batch = _make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    scores = model.apply(params, batch)
+    assert scores.shape == (2, 3)
+
+
+def test_moe_adaptor(rng):
+    model = MoEAdaptor(n_experts=4, out_dim=24)
+    x = jnp.asarray(rng.normal(size=(6, 16)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (6, 24)
+    # training mode adds gating noise -> needs the rng; result differs
+    out_train = model.apply(
+        params, x, deterministic=False,
+        rngs={"gating": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+    )
+    assert out_train.shape == (6, 24)
+
+
+def test_unisrec_forward(rng):
+    enc = NewsEncoderMoe(plm_cfg=TINY, adaptor_out_dim=24)
+    model = UniSRec(news_encoder=enc, max_his_len=5)
+    batch = _make_batch(rng)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    scores = model.apply(params, batch)
+    assert scores.shape == (2, 3)
+
+
+def test_unbert_forward(rng):
+    B, L, S = 2, 40, 6
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 1000, size=(B, L)).astype(np.int32)),
+        "input_mask": jnp.ones((B, L), dtype=jnp.int32),
+        "segment_ids": jnp.asarray(rng.integers(0, 2, size=(B, L)).astype(np.int32)),
+        "news_segment_ids": jnp.asarray(rng.integers(0, 10, size=(B, L)).astype(np.int32)),
+        "sentence_ids": jnp.asarray(
+            np.sort(rng.choice(L, size=(B, S), replace=False)).astype(np.int32)
+        ),
+        "sentence_mask": jnp.ones((B, S), dtype=jnp.int32),
+    }
+    model = UNBert(cfg=TINY, num_news_layers=1)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    scores = model.apply(params, batch)
+    assert scores.shape == (B,)
