@@ -1,0 +1,36 @@
+"""CLI entry point: the reference's subcommand surface on the TPU trainer.
+
+``python -m miner_tpu <train|train_fastformer|eval|eval_fastformer|pretrain>
+@config/file.txt`` (reference: main.py:33-64).
+"""
+from __future__ import annotations
+
+import sys
+
+from miner_tpu.config import make_parser
+
+
+def main(argv=None):
+    parser = make_parser()
+    args = parser.parse_args(argv)
+    if args.mode is None:
+        parser.print_help()
+        return 1
+
+    from miner_tpu.parallel.mesh import maybe_initialize_distributed
+    from miner_tpu.training.trainer import Trainer
+
+    maybe_initialize_distributed()
+
+    if args.mode in ("train", "train_fastformer"):
+        Trainer(args).train()
+    elif args.mode == "pretrain":
+        args.model_name = "pretrain"
+        Trainer(args).train()
+    elif args.mode in ("eval", "eval_fastformer"):
+        Trainer(args).eval()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,189 @@
+"""Config / flag system.
+
+Mirrors the reference's argparse surface (reference: arguments.py:4-116 and
+main.py:33-48) — the same subcommands, the same ``@config/file.txt`` argument
+files with ``#`` comments (reference: src/utils.py:67-83) — plus TPU-native
+flags (mesh shape, precision, remat, PLM preset).  Existing reference config
+files parse unchanged; CUDA-specific flags (``--device``, ``--fp16``,
+dataloader knobs) are accepted and ignored with a note, so the experiment
+corpus keeps working.
+"""
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+
+def convert_arg_line_to_args(arg_line: str):
+    """@file lines -> args; blank lines and ``#`` comments skipped
+    (reference: src/utils.py:67-83)."""
+    arg_line = arg_line.strip()
+    if not arg_line or arg_line.startswith("#"):
+        return []
+    return arg_line.split()
+
+
+def make_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="miner_tpu — TPU-native news recommendation",
+        fromfile_prefix_chars="@",
+        allow_abbrev=False,
+    )
+    parser.convert_arg_line_to_args = convert_arg_line_to_args
+    sub = parser.add_subparsers(dest="mode")
+    for name in ("train", "train_fastformer", "pretrain"):
+        p = sub.add_parser(name, fromfile_prefix_chars="@", allow_abbrev=False)
+        p.convert_arg_line_to_args = convert_arg_line_to_args
+        add_train_arguments(p)
+    for name in ("eval", "eval_fastformer"):
+        p = sub.add_parser(name, fromfile_prefix_chars="@", allow_abbrev=False)
+        p.convert_arg_line_to_args = convert_arg_line_to_args
+        add_eval_arguments(p)
+    return parser
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--model_name", type=str, default="Miner")
+    p.add_argument("--pretrained_tokenizer", type=str, default="hash:30522",
+                   help="HF tokenizer path, or hash[:vocab_size]")
+    p.add_argument("--user2id_path", type=str)
+    p.add_argument("--category2id_path", type=str)
+    p.add_argument("--category_embed_path", type=str, default=None)
+    p.add_argument("--max_title_length", type=int, default=32)
+    p.add_argument("--max_sapo_length", type=int, default=128)
+    p.add_argument("--his_length", type=int, default=50)
+    p.add_argument("--seed", type=int, default=36)
+    p.add_argument("--save_eval_result", action="store_true")
+    p.add_argument("--metrics", type=str, nargs="+",
+                   default=["auc", "group_auc", "mrr", "ndcg@5", "ndcg@10"])
+    p.add_argument("--evaluation_info", type=str, nargs="+", default=["metrics"],
+                   choices=["loss", "metrics"])
+    # accepted for config-file compatibility; ignored on TPU
+    p.add_argument("--device", type=str, default=None, help="(ignored on TPU)")
+
+    # TPU-native flags
+    p.add_argument("--mesh_data", type=int, default=-1,
+                   help="devices on the data-parallel mesh axis (-1: all)")
+    p.add_argument("--mesh_table", type=int, default=1,
+                   help="devices on the news-table mesh axis")
+    p.add_argument("--param_dtype", type=str, default="float32")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize PLM layers to save HBM")
+    p.add_argument("--plm_preset", type=str, default="tiny",
+                   choices=["roberta_base", "bert_base", "tiny", "small"],
+                   help="PLM tower architecture preset")
+    p.add_argument("--hf_checkpoint", type=str, default=None,
+                   help="HF checkpoint dir to import PLM weights from")
+    p.add_argument("--legacy_poly_mask", action="store_true",
+                   help="reproduce the reference's 1e-30 poly-attention mask fill")
+
+
+def add_train_arguments(p: argparse.ArgumentParser):
+    _add_common(p)
+    # data
+    p.add_argument("--data_name", type=str, default=None)
+    p.add_argument("--train_behaviors_path", type=str)
+    p.add_argument("--train_news_path", type=str)
+    p.add_argument("--eval_behaviors_path", type=str)
+    p.add_argument("--eval_news_path", type=str)
+    p.add_argument("--augmentations", nargs="*", default=None)
+    p.add_argument("--augmentation_mode", type=str, default="base",
+                   choices=["base", "hard", "unbert"])
+    p.add_argument("--online", type=int, default=0, choices=[0, 1])
+    p.add_argument("--fast_eval", action="store_true")
+    # model
+    p.add_argument("--pretrained_embedding", type=str, default=None)
+    p.add_argument("--apply_reduce_dim", action="store_true")
+    p.add_argument("--use_sapo", action="store_true")
+    p.add_argument("--freeze_transformer", action="store_true")
+    p.add_argument("--word_embed_dim", type=int, default=256)
+    p.add_argument("--category_embed_dim", type=int, default=100)
+    p.add_argument("--combine_type", type=str, default="linear",
+                   choices=["linear", "lstm", "pre-concat"])
+    p.add_argument("--lstm_num_layers", type=int, default=1)
+    p.add_argument("--lstm_dropout", type=float, default=0.0)
+    p.add_argument("--use_category_bias", action="store_true")
+    p.add_argument("--num_context_codes", type=int, default=32)
+    p.add_argument("--context_code_dim", type=int, default=200)
+    p.add_argument("--score_type", type=str, default="weighted",
+                   choices=["mean", "max", "weighted"])
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--pretrained_model_path", type=str, default=None)
+    # train loop
+    p.add_argument("--train_path", type=str, default="train")
+    p.add_argument("--tensorboard_path", type=str, default="runs")
+    p.add_argument("--npratio", type=int, default=4)
+    p.add_argument("--train_batch_size", type=int, default=8)
+    p.add_argument("--eval_batch_size", type=int, default=64)
+    p.add_argument("--dataloader_drop_last", action="store_true")
+    p.add_argument("--dataloader_num_workers", type=int, default=0)
+    p.add_argument("--dataloader_pin_memory", action="store_true")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--fp16", action="store_true", help="(ignored; bf16 on TPU)")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--num_train_epochs", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=2e-5)
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--warmup_steps", type=int, default=None)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--logging_steps", type=int, default=200)
+    p.add_argument("--eval_steps", type=int, default=100000)
+
+
+def add_eval_arguments(p: argparse.ArgumentParser):
+    _add_common(p)
+    p.add_argument("--saved_model_path", type=str)
+    p.add_argument("--data_name", type=str, default=None)
+    p.add_argument("--eval_behaviors_path", type=str)
+    p.add_argument("--eval_news_path", type=str)
+    p.add_argument("--fast_eval", action="store_true")
+    p.add_argument("--eval_batch_size", type=int, default=64)
+    p.add_argument("--dataloader_num_workers", type=int, default=0)
+    p.add_argument("--dataloader_pin_memory", action="store_true")
+    p.add_argument("--eval_path", type=str, default="eval")
+    # eval also needs the model hyperparams to rebuild the module
+    p.add_argument("--apply_reduce_dim", action="store_true")
+    p.add_argument("--use_sapo", action="store_true")
+    p.add_argument("--freeze_transformer", action="store_true")
+    p.add_argument("--word_embed_dim", type=int, default=256)
+    p.add_argument("--category_embed_dim", type=int, default=100)
+    p.add_argument("--combine_type", type=str, default="linear",
+                   choices=["linear", "lstm", "pre-concat"])
+    p.add_argument("--use_category_bias", action="store_true")
+    p.add_argument("--num_context_codes", type=int, default=32)
+    p.add_argument("--context_code_dim", type=int, default=200)
+    p.add_argument("--score_type", type=str, default="weighted",
+                   choices=["mean", "max", "weighted"])
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--npratio", type=int, default=4)
+    p.add_argument("--pretrained_embedding", type=str, default=None)
+
+
+def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = False):
+    from miner_tpu.models.plm import PLMConfig
+    import dataclasses as dc
+
+    if preset == "roberta_base":
+        cfg = PLMConfig.roberta_base()
+    elif preset == "bert_base":
+        cfg = PLMConfig.bert_base()
+    elif preset == "small":
+        cfg = dc.replace(
+            PLMConfig.bert_base(),
+            hidden_size=256,
+            num_layers=4,
+            num_heads=8,
+            intermediate_size=1024,
+        )
+    elif preset == "tiny":
+        cfg = PLMConfig.tiny()
+    else:
+        raise ValueError(f"unknown plm preset {preset!r}")
+    if vocab_size is not None:
+        cfg = dc.replace(cfg, vocab_size=vocab_size)
+    if remat:
+        cfg = dc.replace(cfg, remat=True)
+    return cfg

@@ -1,0 +1,3 @@
+from miner_tpu.observability.logging import RunLogger
+
+__all__ = ["RunLogger"]

@@ -1,0 +1,472 @@
+"""The functional trainer: data -> jitted train/eval steps -> metrics/ckpts.
+
+Replaces the reference's four near-identical trainer classes (reference:
+src/trainer.py, src/trainer_fastformer.py, src/pretrainer.py,
+src/trainer_continued.py) with one Trainer parameterized by ``model_name``:
+
+  * ``Miner``        — two-tower poly-attention model, CE + disagreement loss;
+  * ``fastformer``   — Fastformer user encoder, vanilla CE;
+  * ``unisrec``      — UniSRec sequential model (MoE-only training), vanilla CE;
+  * ``unbert``       — single-tower cross-encoder over packed sequences;
+  * ``pretrain``     — contrastive news-encoder pretraining.
+
+TPU-native loop design:
+  * the tokenized news table lives on device; batches are index arrays
+    (see miner_tpu.data.device_table);
+  * one jitted train step with donated state; optax handles accumulation,
+    clipping, schedule and freezing (see miner_tpu.training.optim);
+  * bf16 compute / fp32 params replaces the reference's fp16 GradScaler
+    machinery (reference: src/trainer.py:249-254), which TPUs don't need;
+  * eval cadence + best-loss/best-AUC checkpoint selection mirror the
+    reference (reference: src/trainer.py:176-206).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from miner_tpu import constants
+from miner_tpu.config import plm_config
+from miner_tpu.data.batcher import Batcher
+from miner_tpu.data.behaviors import BehaviorsLog
+from miner_tpu.data.device_table import NewsTable
+from miner_tpu.data.news_store import NewsStore
+from miner_tpu.data.samplers import (
+    EvalSampler,
+    OfflineSampler,
+    OnlineSampler,
+    PretrainSampler,
+)
+from miner_tpu.data.tokenization import load_tokenizer
+from miner_tpu.evaluation.evaluator import FastEvaluator, ImpressionEvaluator
+from miner_tpu.models import (
+    FastformerUserModel,
+    Miner,
+    NewsEncoder,
+    NewsEncoderMoe,
+    UniSRec,
+)
+from miner_tpu.models.fastformer import FastformerConfig
+from miner_tpu.observability.logging import RunLogger
+from miner_tpu.parallel.mesh import MeshConfig, make_mesh
+from miner_tpu.parallel.sharding import replicate, shard_batch
+from miner_tpu.training import losses
+from miner_tpu.training.checkpoint import CheckpointManager
+from miner_tpu.training.optim import make_optimizer, warmup_steps_from_ratio
+from miner_tpu.training.train_state import TrainState
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+class Trainer:
+    def __init__(self, args):
+        self.args = args
+        self.model_name = (args.model_name or "Miner").lower()
+        self.tokenizer = load_tokenizer(args.pretrained_tokenizer)
+        with open(args.user2id_path) as f:
+            self.user2id = json.load(f)
+        with open(args.category2id_path) as f:
+            self.category2id = json.load(f)
+        self.mesh = make_mesh(MeshConfig(args.mesh_data, args.mesh_table))
+        self.compute_dtype = _dtype(args.compute_dtype)
+        self.n_devices = self.mesh.devices.size
+
+    # ------------------------------------------------------------------ data
+    def _load_store(self, news_path: str, augmentations=None) -> NewsStore:
+        return NewsStore.from_tsv(
+            news_path,
+            self.tokenizer,
+            self.category2id,
+            self.args.max_title_length,
+            self.args.max_sapo_length,
+            augmentations=augmentations,
+        )
+
+    def _make_table(self, store: NewsStore) -> NewsTable:
+        return NewsTable.from_store(
+            store,
+            use_sapo=self.args.use_sapo,
+            combine_type=self.args.combine_type,
+        )
+
+    def _train_sampler(self, log: BehaviorsLog, store: NewsStore):
+        a = self.args
+        if self.model_name == "pretrain":
+            return PretrainSampler(log, store, a.npratio, seed=a.seed)
+        mode = "hard" if a.augmentation_mode == "hard" else "base"
+        cls = OnlineSampler if a.online else OfflineSampler
+        return cls(log, store, a.npratio, seed=a.seed, mode=mode)
+
+    # ----------------------------------------------------------------- model
+    def build_model(self, store: NewsStore):
+        a = self.args
+        plm = plm_config(a.plm_preset, vocab_size=self.tokenizer.vocab_size,
+                         remat=a.remat)
+        dtype = self.compute_dtype
+        if self.model_name in ("miner", "pretrain"):
+            encoder = NewsEncoder(
+                plm_cfg=plm,
+                apply_reduce_dim=a.apply_reduce_dim,
+                word_embed_dim=a.word_embed_dim,
+                use_sapo=a.use_sapo,
+                combine_type=a.combine_type,
+                dropout=a.dropout,
+                dtype=dtype,
+            )
+            if self.model_name == "pretrain":
+                return encoder, "pretrain"
+            model = Miner(
+                news_encoder=encoder,
+                use_category_bias=a.use_category_bias,
+                num_context_codes=a.num_context_codes,
+                context_code_dim=a.context_code_dim,
+                score_type=a.score_type,
+                dropout=a.dropout,
+                num_categories=len(self.category2id),
+                category_embed_dim=a.category_embed_dim,
+                category_pad_id=self.category2id[constants.PAD_TOKEN],
+                legacy_mask=a.legacy_poly_mask,
+                dtype=dtype,
+            )
+            return model, "miner"
+        if self.model_name == "fastformer":
+            encoder = NewsEncoder(
+                plm_cfg=plm,
+                apply_reduce_dim=a.apply_reduce_dim,
+                word_embed_dim=a.word_embed_dim,
+                use_sapo=a.use_sapo,
+                combine_type=a.combine_type,
+                dropout=a.dropout,
+                dtype=dtype,
+            )
+            cfg = FastformerConfig(
+                hidden_size=encoder.embed_dim,
+                num_heads=16 if encoder.embed_dim % 16 == 0 else 4,
+                intermediate_size=encoder.embed_dim,
+                hidden_dropout=a.dropout,
+                max_position_embeddings=max(256, a.his_length),
+            )
+            return FastformerUserModel(news_encoder=encoder, cfg=cfg), "vanilla"
+        if self.model_name == "unisrec":
+            encoder = NewsEncoderMoe(
+                plm_cfg=plm,
+                use_sapo=a.use_sapo,
+                combine_type=a.combine_type,
+                adaptor_dropout=a.dropout,
+                dropout=a.dropout,
+                dtype=dtype,
+            )
+            return UniSRec(news_encoder=encoder, max_his_len=a.his_length), "vanilla"
+        if self.model_name == "unbert":
+            from miner_tpu.models.plm import PLMConfig
+            from miner_tpu.models.unbert import UNBert
+            import dataclasses as dc
+
+            cfg = plm_config(a.plm_preset, vocab_size=self.tokenizer.vocab_size)
+            cfg = dc.replace(cfg, type_vocab_size=max(2, cfg.type_vocab_size))
+            return UNBert(cfg=cfg, num_news_layers=min(2, cfg.num_layers),
+                          dtype=dtype), "unbert"
+        raise ValueError(f"unknown model_name {self.args.model_name!r}")
+
+    def _init_params(self, model, example_batch) -> Any:
+        rng = jax.random.PRNGKey(self.args.seed)
+        params = model.init(
+            {"params": rng, "dropout": rng, "gating": rng}, example_batch
+        )["params"]
+        if self.args.hf_checkpoint:
+            from miner_tpu.models import hf_import
+
+            params = hf_import.load_into_params(
+                params, self.args.hf_checkpoint, plm_prefix="news_encoder/plm"
+            )
+        return params
+
+    def _trainable_pred(self) -> Optional[Callable[[str], bool]]:
+        if self.model_name == "unisrec":
+            # freeze everything but the MoE adaptor
+            # (reference: src/model/model_unisrec.py:445-450)
+            return lambda name: "moe" in name.lower()
+        if getattr(self.args, "freeze_transformer", False):
+            return lambda name: "/plm/" not in f"/{name}/"
+        return None
+
+    # ----------------------------------------------------------------- steps
+    def _apply_and_loss(self, model, kind: str, params, table: NewsTable,
+                        batch: Dict[str, jax.Array], train: bool,
+                        rngs: Optional[dict]):
+        variables = {"params": params}
+        deterministic = not train
+        if kind == "pretrain":
+            cand = table.lookup_candidates(batch["cand_idx"])
+            B, C, L = cand["cand_title"].shape
+            flat_ids = cand["cand_title"].reshape(B * C, L)
+            flat_mask = cand["cand_title_mask"].reshape(B * C, L)
+            sapo_ids = sapo_mask = None
+            if "cand_sapo" in cand:
+                Ls = cand["cand_sapo"].shape[-1]
+                sapo_ids = cand["cand_sapo"].reshape(B * C, Ls)
+                sapo_mask = cand["cand_sapo_mask"].reshape(B * C, Ls)
+            reprs = model.apply(
+                variables, flat_ids, flat_mask, sapo_ids, sapo_mask,
+                deterministic=deterministic, rngs=rngs,
+            ).reshape(B, C, -1)
+            loss = losses.pretrain_contrastive(
+                reprs, num_augmentations=self._num_augs
+            )
+            return loss, reprs
+        model_batch = table.lookup(batch["cand_idx"], batch["his_idx"])
+        if kind == "miner":
+            interests, logits = model.apply(
+                variables, model_batch, deterministic=deterministic, rngs=rngs
+            )
+            if train:
+                loss = losses.miner_loss(interests, logits, batch["label"])
+            else:
+                loss = losses.miner_eval_loss(interests, logits, batch["label"])
+            return loss, logits
+        logits = model.apply(
+            variables, model_batch, deterministic=deterministic, rngs=rngs
+        )
+        if train:
+            loss = losses.vanilla_loss(logits, batch["label"])
+        else:
+            loss = losses.logsigmoid_eval_loss(logits, batch["label"])
+        return loss, logits
+
+    def _make_train_step(self, model, kind: str, table: NewsTable):
+        def train_step(state: TrainState, batch):
+            rng = jax.random.fold_in(state.rng, state.step)
+            d_rng, g_rng = jax.random.split(rng)
+            rngs = {"dropout": d_rng, "gating": g_rng}
+
+            def loss_fn(params):
+                loss, _ = self._apply_and_loss(
+                    model, kind, params, table, batch, train=True, rngs=rngs
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads), loss
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _make_eval_step(self, model, kind: str, table: NewsTable):
+        def eval_step(params, batch):
+            loss, logits = self._apply_and_loss(
+                model, kind, params, table, batch, train=False, rngs=None
+            )
+            return loss, logits
+
+        return jax.jit(eval_step)
+
+    # ----------------------------------------------------------------- train
+    def train(self):
+        a = self.args
+        logger = RunLogger(a.train_path, "train", vars(a))
+        log = logger.logger
+        log.info("devices: %s, mesh: %s", self.n_devices, self.mesh.shape)
+
+        store = self._load_store(a.train_news_path, a.augmentations)
+        self._num_augs = store.num_variants - 1
+        train_log = BehaviorsLog.from_tsv(
+            a.train_behaviors_path, store, self.user2id, a.his_length
+        )
+        sampler = self._train_sampler(train_log, store)
+        table = self._make_table(store)
+
+        eval_store = store
+        if a.eval_news_path and a.eval_news_path != a.train_news_path:
+            eval_store = self._load_store(a.eval_news_path)
+        eval_log = BehaviorsLog.from_tsv(
+            a.eval_behaviors_path, eval_store, self.user2id, a.his_length
+        ) if a.eval_behaviors_path else None
+        eval_table = (
+            table if eval_store is store else self._make_table(eval_store)
+        )
+
+        batcher = Batcher(a.train_batch_size, drop_last=True, shuffle=True,
+                          seed=a.seed)
+        steps_per_epoch = batcher.num_batches(train_log.num_events)
+        if steps_per_epoch == 0:
+            raise ValueError("no training batches — dataset smaller than batch")
+        updates_per_epoch = max(1, steps_per_epoch // a.gradient_accumulation_steps)
+        total_updates = (
+            a.max_steps if a.max_steps else updates_per_epoch * a.num_train_epochs
+        )
+        warmup = warmup_steps_from_ratio(total_updates, a.warmup_ratio, a.warmup_steps)
+
+        model, kind = self.build_model(store)
+        example = next(batcher.batches(sampler.sample_epoch(0)))
+        example = {k: jnp.asarray(v) for k, v in example.items()}
+        params = self._init_params_for_kind(model, kind, table, example)
+        from miner_tpu.utils import tree_size
+
+        log.info("parameters: %.2fM", tree_size(params) / 1e6)
+
+        tx = make_optimizer(
+            params,
+            learning_rate=a.learning_rate,
+            total_steps=total_updates,
+            warmup_steps=warmup,
+            weight_decay=a.weight_decay,
+            max_grad_norm=a.max_grad_norm,
+            accum_steps=a.gradient_accumulation_steps,
+            trainable_pred=self._trainable_pred(),
+        )
+        state = TrainState.create(params, tx, jax.random.PRNGKey(a.seed + 1))
+        state = jax.device_put(state, replicate(self.mesh))
+
+        ckpt = CheckpointManager(os.path.join(logger.run_dir, "ckpt"))
+        train_step = self._make_train_step(model, kind, table)
+        eval_step = self._make_eval_step(model, kind, eval_table)
+
+        best_loss, best_auc = float("inf"), -float("inf")
+        global_step = 0
+        ex_counter, t_last = 0, time.time()
+        for epoch in range(a.num_train_epochs):
+            t_epoch = time.time()
+            block = sampler.sample_epoch(epoch)
+            epoch_losses = []
+            for batch in batcher.batches(block, epoch):
+                dev_batch = shard_batch(self.mesh, {
+                    k: v for k, v in batch.items() if k != "valid"
+                })
+                state, loss = train_step(state, dev_batch)
+                global_step += 1
+                ex_counter += a.train_batch_size
+                epoch_losses.append(loss)
+                if global_step % a.logging_steps == 0:
+                    loss_v = float(jax.device_get(loss))
+                    dt = time.time() - t_last
+                    eps = ex_counter / dt if dt > 0 else 0.0
+                    ex_counter, t_last = 0, time.time()
+                    logger.log_train(epoch, global_step, loss_v,
+                                     a.learning_rate, eps / self.n_devices)
+                if eval_log is not None and global_step % a.eval_steps == 0:
+                    scores, eval_loss = self._run_eval(
+                        eval_step, state.params, eval_log, logger, epoch,
+                        global_step)
+                    best_loss, best_auc = self._maybe_checkpoint(
+                        ckpt, state, scores, eval_loss, best_loss, best_auc, log
+                    )
+            mean_loss = float(jax.device_get(jnp.mean(jnp.stack(epoch_losses))))
+            if eval_log is not None:
+                scores, eval_loss = self._run_eval(
+                    eval_step, state.params, eval_log, logger, epoch, global_step
+                )
+                best_loss, best_auc = self._maybe_checkpoint(
+                    ckpt, state, scores, eval_loss, best_loss, best_auc, log
+                )
+            logger.log_epoch(epoch, mean_loss, time.time() - t_epoch)
+        ckpt.save("finalModel", _ckpt_payload(state))
+        ckpt.wait()
+        log.info("training complete: %d steps", global_step)
+        return state
+
+    def _init_params_for_kind(self, model, kind, table, example):
+        rng = jax.random.PRNGKey(self.args.seed)
+        rngs = {"params": rng, "dropout": rng, "gating": rng}
+        if kind == "pretrain":
+            cand = table.lookup_candidates(example["cand_idx"])
+            B, C, L = cand["cand_title"].shape
+            args = [cand["cand_title"].reshape(B * C, L),
+                    cand["cand_title_mask"].reshape(B * C, L)]
+            if "cand_sapo" in cand:
+                Ls = cand["cand_sapo"].shape[-1]
+                args += [cand["cand_sapo"].reshape(B * C, Ls),
+                         cand["cand_sapo_mask"].reshape(B * C, Ls)]
+            params = model.init(rngs, *args)["params"]
+        else:
+            model_batch = table.lookup(example["cand_idx"], example["his_idx"])
+            params = model.init(rngs, model_batch)["params"]
+        if self.args.hf_checkpoint:
+            from miner_tpu.models import hf_import
+
+            params = hf_import.load_into_params(
+                params, self.args.hf_checkpoint,
+                plm_prefix="plm" if kind == "pretrain" else "news_encoder/plm",
+            )
+        return params
+
+    # ------------------------------------------------------------------ eval
+    def _run_eval(self, eval_step, params, eval_log: BehaviorsLog,
+                  logger: RunLogger, epoch: int, step: int):
+        a = self.args
+        block = EvalSampler(eval_log).sample_all()
+        evaluator = ImpressionEvaluator(eval_log.eval_targets_by_impression())
+        batcher = Batcher(a.eval_batch_size, drop_last=False, shuffle=False)
+        total_loss = 0.0
+        for batch in batcher.batches(block):
+            valid = int(batch.pop("valid"))
+            dev_batch = shard_batch(self.mesh, batch)
+            loss, logits = eval_step(params, dev_batch)
+            total_loss += float(jax.device_get(loss))
+            evaluator.eval_batch(
+                np.asarray(jax.device_get(logits)),
+                batch["impression_id"],
+                valid=valid,
+            )
+        scores = evaluator.compute_scores(
+            a.metrics, save_result=a.save_eval_result, path=logger.run_dir
+        )
+        logger.log_eval(epoch, step, scores, total_loss)
+        if a.save_eval_result:
+            evaluator.save_predictions(logger.run_dir)
+        return scores, total_loss
+
+    def _maybe_checkpoint(self, ckpt, state, scores, eval_loss, best_loss,
+                          best_auc, log):
+        if eval_loss < best_loss:
+            best_loss = eval_loss
+            ckpt.save("bestLossModel", _ckpt_payload(state))
+            log.info("new best loss %.5f -> bestLossModel", eval_loss)
+        auc = scores.get("auc", scores.get("group_auc"))
+        if auc is not None and auc > best_auc:
+            best_auc = auc
+            ckpt.save("bestAucModel", _ckpt_payload(state))
+            log.info("new best auc %.5f -> bestAucModel", auc)
+        return best_loss, best_auc
+
+    def eval(self):
+        """Standalone evaluation from a saved checkpoint."""
+        a = self.args
+        logger = RunLogger(a.eval_path, "eval", vars(a))
+        store = self._load_store(a.eval_news_path)
+        self._num_augs = 0
+        eval_log = BehaviorsLog.from_tsv(
+            a.eval_behaviors_path, store, self.user2id, a.his_length
+        )
+        table = self._make_table(store)
+        model, kind = self.build_model(store)
+        block = EvalSampler(eval_log).sample_all()
+        batcher = Batcher(a.eval_batch_size, drop_last=False, shuffle=False)
+        example = next(batcher.batches(block))
+        example = {k: jnp.asarray(v) for k, v in example.items() if k != "valid"}
+        params = self._init_params_for_kind(model, kind, table, example)
+        if a.saved_model_path:
+            ckpt = CheckpointManager(os.path.dirname(a.saved_model_path))
+            payload = ckpt.restore(os.path.basename(a.saved_model_path))
+            params = payload["params"]
+        eval_step = self._make_eval_step(model, kind, table)
+        scores, eval_loss = self._run_eval(
+            eval_step, params, eval_log, logger, 0, 0
+        )
+        return scores
+
+
+def _ckpt_payload(state: TrainState):
+    return {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "rng": state.rng,
+    }
