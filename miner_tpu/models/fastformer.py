@@ -58,6 +58,7 @@ def _init(cfg: FastformerConfig):
 
 class FastSelfAttention(nn.Module):
     cfg: FastformerConfig
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -69,25 +70,41 @@ class FastSelfAttention(nn.Module):
 
         q = nn.Dense(D, dtype=self.dtype, kernel_init=_init(cfg), name="query")(x)
         k = nn.Dense(D, dtype=self.dtype, kernel_init=_init(cfg), name="key")(x)
+        wqa = self.param("query_att_kernel", _init(cfg), (D, h)).astype(self.dtype)
+        bqa = self.param("query_att_bias", nn.initializers.zeros, (h,)).astype(
+            self.dtype
+        )
+        wka = self.param("key_att_kernel", _init(cfg), (D, h)).astype(self.dtype)
+        bka = self.param("key_att_bias", nn.initializers.zeros, (h,)).astype(
+            self.dtype
+        )
 
-        # Global query: per-head additive attention over the sequence.
-        q_score = nn.Dense(h, dtype=self.dtype, kernel_init=_init(cfg), name="query_att")(q)
-        q_score = q_score.astype(jnp.float32).transpose(0, 2, 1) * scale  # (B, h, L)
-        alpha = jax.nn.softmax(q_score + attn_bias, axis=-1).astype(self.dtype)
-        q_heads = q.reshape(B, L, h, hd)
-        pooled_q = jnp.einsum("bhl,blhd->bhd", alpha, q_heads)  # (B, h, hd)
-        pooled_q_flat = pooled_q.reshape(B, 1, D)
+        if self.use_fused:
+            # (B, 1, L) additive bias -> (B, L) validity mask for the kernel
+            from miner_tpu.ops.fastformer_attn import fastformer_attention_fused
 
-        # Key modulation by the global query, then global key pooling.
-        u = k * pooled_q_flat  # (B, L, D)
-        k_score = nn.Dense(h, dtype=self.dtype, kernel_init=_init(cfg), name="key_att")(u)
-        k_score = k_score.astype(jnp.float32).transpose(0, 2, 1) * scale
-        beta = jax.nn.softmax(k_score + attn_bias, axis=-1).astype(self.dtype)
-        u_heads = u.reshape(B, L, h, hd)
-        pooled_k = jnp.einsum("bhl,blhd->bhd", beta, u_heads)  # (B, h, hd)
+            valid = (attn_bias[:, 0, :] >= -1.0).astype(jnp.int32)
+            mixed = fastformer_attention_fused(q, k, wqa, bqa, wka, bka, valid, h)
+        else:
+            # Global query: per-head additive attention over the sequence.
+            q_score = (q @ wqa + bqa).astype(jnp.float32)
+            q_score = q_score.transpose(0, 2, 1) * scale  # (B, h, L)
+            alpha = jax.nn.softmax(q_score + attn_bias, axis=-1).astype(self.dtype)
+            q_heads = q.reshape(B, L, h, hd)
+            pooled_q = jnp.einsum("bhl,blhd->bhd", alpha, q_heads)  # (B, h, hd)
+            pooled_q_flat = pooled_q.reshape(B, 1, D)
 
-        # Value mixing: global key gates the per-position query heads.
-        mixed = (pooled_k[:, None, :, :] * q_heads).reshape(B, L, D)
+            # Key modulation by the global query, then global key pooling.
+            u = k * pooled_q_flat  # (B, L, D)
+            k_score = (u @ wka + bka).astype(jnp.float32)
+            k_score = k_score.transpose(0, 2, 1) * scale
+            beta = jax.nn.softmax(k_score + attn_bias, axis=-1).astype(self.dtype)
+            u_heads = u.reshape(B, L, h, hd)
+            pooled_k = jnp.einsum("bhl,blhd->bhd", beta, u_heads)  # (B, h, hd)
+
+            # Value mixing: global key gates the per-position query heads.
+            q_heads2 = q.reshape(B, L, h, hd)
+            mixed = (pooled_k[:, None, :, :] * q_heads2).reshape(B, L, D)
         out = nn.Dense(D, dtype=self.dtype, kernel_init=_init(cfg), name="transform")(mixed)
         return out + q
 
@@ -200,6 +217,18 @@ class FastformerUserModel(nn.Module):
     def setup(self):
         self.fast_attn = Fastformer(self.cfg, dtype=self.dtype, name="fast_attn")
 
+    def encode_news(self, title_ids, title_mask, sapo_ids=None, sapo_mask=None,
+                    deterministic: bool = True):
+        return self.news_encoder(
+            title_ids, title_mask, sapo_ids, sapo_mask, deterministic=deterministic
+        )
+
+    def tail(self, cand_repr, his_repr, cand_category, his_category, his_mask,
+             deterministic: bool = True) -> jax.Array:
+        """User encoding + scoring from precomputed news representations."""
+        user = self.fast_attn(his_repr, his_mask, deterministic=deterministic)
+        return jnp.einsum("bcd,bd->bc", cand_repr, user)
+
     def __call__(
         self, batch: Dict[str, jax.Array], deterministic: bool = True
     ) -> jax.Array:
@@ -225,6 +254,5 @@ class FastformerUserModel(nn.Module):
         D = reprs.shape[-1]
         cand_repr = reprs[: B * C].reshape(B, C, D)
         his_repr = reprs[B * C :].reshape(B, H, D)
-
-        user = self.fast_attn(his_repr, batch["his_mask"], deterministic=deterministic)
-        return jnp.einsum("bcd,bd->bc", cand_repr, user)
+        return self.tail(cand_repr, his_repr, None, None, batch["his_mask"],
+                         deterministic=deterministic)

@@ -85,6 +85,13 @@ class Miner(nn.Module):
                 embed_dim, dtype=self.dtype, name="target_aware_attn"
             )
 
+    def encode_news(self, title_ids, title_mask, sapo_ids=None, sapo_mask=None,
+                    deterministic: bool = True):
+        """Encode a flat (N, L) batch of news — the cache-refresh entry point."""
+        return self.news_encoder(
+            title_ids, title_mask, sapo_ids, sapo_mask, deterministic=deterministic
+        )
+
     def encode_all_news(self, batch: Dict[str, jax.Array], deterministic: bool):
         """One PLM call per field over candidates + history concatenated."""
         B, C, Lt = batch["cand_title"].shape
@@ -111,25 +118,32 @@ class Miner(nn.Module):
         his_repr = reprs[B * C :].reshape(B, H, D)
         return cand_repr, his_repr
 
-    def __call__(
-        self, batch: Dict[str, jax.Array], deterministic: bool = True
+    def tail(
+        self,
+        cand_repr: jax.Array,  # (B, C, D)
+        his_repr: jax.Array,  # (B, H, D)
+        cand_category: jax.Array,  # (B, C)
+        his_category: jax.Array,  # (B, H)
+        his_mask: jax.Array,  # (B, H)
+        deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
-        """Returns (multi_user_interest (B, K, D), matching_scores (B, C))."""
-        cand_repr, his_repr = self.encode_all_news(batch, deterministic)
-
+        """Everything after the news towers: category bias + poly-attention +
+        scoring.  Exposed separately so the cached-inference path (news
+        representations from the sharded embedding cache) can reuse the same
+        parameters without re-running the PLM."""
         bias = None
         if self.use_category_bias:
             his_cat = self.category_dropout(
-                self.category_embedding(batch["his_category"]),
+                self.category_embedding(his_category),
                 deterministic=deterministic,
             )
             cand_cat = self.category_dropout(
-                self.category_embedding(batch["cand_category"]),
+                self.category_embedding(cand_category),
                 deterministic=deterministic,
             )
             bias = pairwise_cosine_similarity(his_cat, cand_cat)  # (B, H, C)
 
-        interests = self.poly_attn(his_repr, batch["his_mask"], bias)  # (B, K, D)
+        interests = self.poly_attn(his_repr, his_mask, bias)  # (B, K, D)
         scores = jnp.einsum("bcd,bkd->bck", cand_repr, interests)
         if self.score_type == "max":
             matching = jnp.max(scores, axis=-1)
@@ -140,3 +154,17 @@ class Miner(nn.Module):
         else:
             raise ValueError(f"invalid score_type {self.score_type!r}")
         return interests, matching
+
+    def __call__(
+        self, batch: Dict[str, jax.Array], deterministic: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (multi_user_interest (B, K, D), matching_scores (B, C))."""
+        cand_repr, his_repr = self.encode_all_news(batch, deterministic)
+        return self.tail(
+            cand_repr,
+            his_repr,
+            batch["cand_category"],
+            batch["his_category"],
+            batch["his_mask"],
+            deterministic=deterministic,
+        )

@@ -57,11 +57,17 @@ def poly_attention_scores(
 
 
 class PolyAttention(nn.Module):
-    """Extract K interest vectors from the clicked-news history."""
+    """Extract K interest vectors from the clicked-news history.
+
+    ``use_fused`` routes through the Pallas fused kernel
+    (miner_tpu.ops.poly_attention) — forward fully fused in VMEM, backward via
+    the XLA reference math.  The fused path requires ``legacy_mask=False``.
+    """
 
     num_context_codes: int
     context_code_dim: int
     legacy_mask: bool = False
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -71,14 +77,11 @@ class PolyAttention(nn.Module):
         attn_mask: jax.Array,  # (B, H) bool/int
         bias: Optional[jax.Array] = None,  # (B, H, C) category cosine or None
     ) -> jax.Array:
-        proj = nn.Dense(
-            self.context_code_dim,
-            use_bias=False,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.lecun_normal(),
-            name="proj",
-        )(embeddings)
-        proj = jnp.tanh(proj)
+        kernel = self.param(
+            "proj_kernel",
+            nn.initializers.lecun_normal(),
+            (embeddings.shape[-1], self.context_code_dim),
+        ).astype(self.dtype)
         # Xavier-uniform with tanh gain (5/3), matching the reference's
         # init for the context codes (reference: src/model/model.py:155-157).
         codes = self.param(
@@ -91,6 +94,13 @@ class PolyAttention(nn.Module):
         if bias is not None:
             # Mean over candidates -> per-history-position scalar shift.
             bias = jnp.mean(bias, axis=-1)
+
+        if self.use_fused and not self.legacy_mask:
+            from miner_tpu.ops.poly_attention import poly_attention_fused
+
+            return poly_attention_fused(embeddings, kernel, codes, attn_mask, bias)
+
+        proj = jnp.tanh(embeddings @ kernel)
         weights = poly_attention_scores(
             proj, codes, attn_mask, bias, self.legacy_mask
         ).astype(self.dtype)

@@ -49,9 +49,51 @@ class UniSRec(nn.Module):
     max_his_len: int = 50
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, batch: Dict[str, jax.Array], deterministic: bool = True) -> jax.Array:
+    def setup(self):
         cfg = sasrec_encoder_cfg(self.news_encoder.embed_dim)
+        self._cfg = cfg
+        self.position_embedding = nn.Embed(
+            self.max_his_len,
+            cfg.hidden_size,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+            dtype=self.dtype,
+        )
+        self.ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
+        self.input_dropout = nn.Dropout(rate=cfg.hidden_dropout)
+        self.trm_layers = [
+            TransformerLayer(cfg, dtype=self.dtype, name=f"trm_layer_{i}")
+            for i in range(cfg.num_layers)
+        ]
+
+    def encode_news(self, title_ids, title_mask, sapo_ids=None, sapo_mask=None,
+                    deterministic: bool = True):
+        return self.news_encoder(
+            title_ids, title_mask, sapo_ids, sapo_mask, deterministic=deterministic
+        )
+
+    def tail(self, cand_repr, his_repr, cand_category, his_category, his_mask,
+             deterministic: bool = True) -> jax.Array:
+        """Sequential user encoding + dot scoring from news representations."""
+        cfg = self._cfg
+        B, H, D = his_repr.shape
+        pos_ids = jnp.arange(H, dtype=jnp.int32)[None, :]
+        x = his_repr + self.position_embedding(pos_ids)
+        x = self.ln(x).astype(self.dtype)
+        x = self.input_dropout(x, deterministic=deterministic)
+
+        # Causal mask composed with the history validity mask, additive -10000
+        # (reference: src/model/model_unisrec.py:591-600).
+        valid = his_mask.astype(bool)  # (B, H)
+        causal = jnp.tril(jnp.ones((H, H), dtype=bool))
+        mask = valid[:, None, None, :] & causal[None, None, :, :]
+        attn_bias = jnp.where(mask, 0.0, -10000.0).astype(jnp.float32)
+
+        for layer in self.trm_layers:
+            x = layer(x, attn_bias, deterministic)
+        user = x[:, 0, :]  # position-0 output (reference: model_unisrec.py:543)
+        return jnp.einsum("bcd,bd->bc", cand_repr, user)
+
+    def __call__(self, batch: Dict[str, jax.Array], deterministic: bool = True) -> jax.Array:
         B, C, _ = batch["cand_title"].shape
         H = batch["his_title"].shape[1]
 
@@ -66,31 +108,5 @@ class UniSRec(nn.Module):
         D = reprs.shape[-1]
         cand_repr = reprs[: B * C].reshape(B, C, D)
         his_repr = reprs[B * C :].reshape(B, H, D)
-
-        pos_ids = jnp.arange(H, dtype=jnp.int32)[None, :]
-        pos = nn.Embed(
-            self.max_his_len,
-            cfg.hidden_size,
-            embedding_init=nn.initializers.normal(stddev=0.02),
-            dtype=self.dtype,
-            name="position_embedding",
-        )(pos_ids)
-        x = his_repr + pos
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ln")(
-            x
-        ).astype(self.dtype)
-        x = nn.Dropout(rate=cfg.hidden_dropout)(x, deterministic=deterministic)
-
-        # Causal mask composed with the history validity mask, additive -10000
-        # (reference: src/model/model_unisrec.py:591-600).
-        valid = batch["his_mask"].astype(bool)  # (B, H)
-        causal = jnp.tril(jnp.ones((H, H), dtype=bool))
-        mask = valid[:, None, None, :] & causal[None, None, :, :]
-        attn_bias = jnp.where(mask, 0.0, -10000.0).astype(jnp.float32)
-
-        for i in range(cfg.num_layers):
-            x = TransformerLayer(cfg, dtype=self.dtype, name=f"trm_layer_{i}")(
-                x, attn_bias, deterministic
-            )
-        user = x[:, 0, :]  # position-0 output (reference: model_unisrec.py:543)
-        return jnp.einsum("bcd,bd->bc", cand_repr, user)
+        return self.tail(cand_repr, his_repr, None, None, batch["his_mask"],
+                         deterministic=deterministic)

@@ -61,67 +61,74 @@ def fastformer_attention_reference(
 
 def _ff_kernel(q_ref, k_ref, wqa_ref, bqa_ref, wka_ref, bka_ref, mask_ref,
                out_ref, *, num_heads: int):
-    q = q_ref[:]  # (BB, L, D)
-    k = k_ref[:]
-    BB, L, D = q.shape
+    # One batch row per grid step; 2-D dots only (Mosaic has no batched
+    # dot_general).  Head structure is handled WITHOUT (L,D)->(L,h,hd)
+    # reshapes (Mosaic can't lay out a lane-dim split): per-head scalars are
+    # expanded to the channel dim by a one-hot (h, D) matmul where
+    # E[j, d] = 1 iff d // hd == j.
+    q = q_ref[0]  # (L, D)
+    k = k_ref[0]
+    L, D = q.shape
     h = num_heads
     hd = D // h
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-    bias = jnp.where(mask_ref[:] != 0, 0.0, MASK_FILL).astype(jnp.float32)
+    bias = jnp.where(mask_ref[0, 0][:, None] != 0, 0.0, MASK_FILL).astype(
+        jnp.float32
+    )  # (L, 1)
 
-    def pooled(x):
-        """softmax-over-L additive pooling of x with per-head scores."""
-        return x
+    head_of_col = jax.lax.broadcasted_iota(jnp.int32, (h, D), 1) // hd
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (h, D), 0)
+    expand = (head_of_col == head_row).astype(q.dtype)  # (h, D) one-hot blocks
 
-    q_score = jax.lax.dot_general(
-        q, wqa_ref[:].astype(q.dtype), (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqa_ref[:].astype(jnp.float32)
-    logits = q_score * scale + bias[:, :, None]  # (BB, L, h)
-    m = jnp.max(logits, axis=1, keepdims=True)
-    e = jnp.exp(logits - m)
-    alpha = (e / jnp.sum(e, axis=1, keepdims=True)).astype(q.dtype)
-    q_heads = q.reshape(BB, L, h, hd)
-    pooled_q = jnp.einsum("blh,blhd->bhd", alpha, q_heads)
-    u = k * pooled_q.reshape(BB, 1, D)
+    def additive_softmax(x, w, b):
+        logits = (
+            jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+            + b.astype(jnp.float32)
+        ) * scale + bias  # (L, h)
+        m = jnp.max(logits, axis=0, keepdims=True)
+        e = jnp.exp(logits - m)
+        return (e / jnp.sum(e, axis=0, keepdims=True)).astype(x.dtype)
 
-    k_score = jax.lax.dot_general(
-        u, wka_ref[:].astype(q.dtype), (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bka_ref[:].astype(jnp.float32)
-    logits2 = k_score * scale + bias[:, :, None]
-    m2 = jnp.max(logits2, axis=1, keepdims=True)
-    e2 = jnp.exp(logits2 - m2)
-    beta = (e2 / jnp.sum(e2, axis=1, keepdims=True)).astype(q.dtype)
-    u_heads = u.reshape(BB, L, h, hd)
-    pooled_k = jnp.einsum("blh,blhd->bhd", beta, u_heads)
+    def head_pool(scores, x):
+        """sum_l scores[l, head(d)] * x[l, d] -> (1, D)"""
+        expanded = jnp.dot(scores, expand, preferred_element_type=jnp.float32).astype(
+            x.dtype
+        )  # (L, D)
+        return jnp.sum(expanded * x, axis=0, keepdims=True)  # (1, D)
 
-    out = (pooled_k[:, None, :, :] * q_heads).reshape(BB, L, D)
-    out_ref[:] = out.astype(out_ref.dtype)
+    alpha = additive_softmax(q, wqa_ref[:], bqa_ref[:])  # (L, h)
+    pooled_q = head_pool(alpha, q)  # (1, D)
+    u = k * pooled_q
+
+    beta = additive_softmax(u, wka_ref[:], bka_ref[:])  # (L, h)
+    pooled_k = head_pool(beta, u)  # (1, D)
+
+    out = pooled_k * q
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _ff_pallas(q, k, wqa, bqa, wka, bka, mask, num_heads, interpret):
     B, L, D = q.shape
-    BB = pick_block(B)
     kern = functools.partial(_ff_kernel, num_heads=num_heads)
+    mask3 = mask.reshape(B, 1, L)  # trailing block dims must match array dims
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, L, D), q.dtype),
-        grid=(B // BB,),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((BB, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (BB, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(q, k, wqa, bqa, wka, bka, mask)
+    )(q, k, wqa, bqa, wka, bka, mask3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))

@@ -1,0 +1,115 @@
+"""Fused embedding lookup + candidate scoring kernel (Pallas TPU) + reference.
+
+The serving/eval hot path: given a (N, D) news-embedding cache, (B, C)
+candidate indices, and (B, K, D) user interest vectors, produce per-interest
+matching scores (B, C, K) — the ``candidate_repr @ interests^T`` of the
+reference's click predictor (reference: src/model/model.py:126-127) with the
+gather fused in.
+
+Kernel design: the cache stays in HBM/ANY; candidate indices arrive via
+scalar prefetch so each grid step can DMA exactly the C rows it needs into a
+VMEM scratch buffer (double-buffered across the C loop), then one MXU matmul
+scores them against the batch row's interests.  HBM traffic is C*D reads
+instead of materializing a (B, C, D) gathered tensor in HBM and reading it
+back.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from miner_tpu.ops.common import on_tpu
+
+
+def lookup_score_reference(
+    cache: jax.Array,  # (N, D)
+    cand_idx: jax.Array,  # (B, C)
+    interests: jax.Array,  # (B, K, D)
+) -> jax.Array:
+    cand = jnp.take(cache, cand_idx, axis=0)  # (B, C, D)
+    return jnp.einsum("bcd,bkd->bck", cand, interests.astype(cand.dtype))
+
+
+def _lookup_kernel(idx_ref, interests_ref, cache_ref, out_ref, rows, sem):
+    # cache_ref is (N, 1, D) so a single-row gather DMA slices only the
+    # untiled leading dim (HBM tiling applies to the trailing (1, D) dims).
+    b = pl.program_id(0)
+    C = out_ref.shape[0]
+
+    def get_dma(slot, c):
+        return pltpu.make_async_copy(
+            cache_ref.at[idx_ref[b, c]],
+            rows.at[slot],
+            sem.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < C)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        # score row c against all K interests: (1, D) x (K, D)^T
+        out_ref[c, :] = jax.lax.dot_general(
+            rows[slot],
+            interests_ref[:],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0].astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, C, body, 0)
+
+
+def _lookup_pallas(cache, cand_idx, interests, interpret):
+    B, C = cand_idx.shape
+    K, D = interests.shape[1], interests.shape[2]
+    N = cache.shape[0]
+    cache3 = cache.reshape(N, 1, D)
+    # Per-row stores slice the lane dim: pad K up to the 128-lane tile.
+    K_pad = max(128, -(-K // 128) * 128)
+    if K_pad != K:
+        interests = jnp.pad(interests, ((0, 0), (0, K_pad - K), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # cand_idx
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K_pad, D), lambda b, idx: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # cache stays off-chip
+        ],
+        out_specs=pl.BlockSpec((1, C, K_pad), lambda b, idx: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, D), cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kernel(idx_ref, interests_ref, cache_ref, out_ref, rows, sem):
+        # block shapes carry a leading 1 (batch); index it away.
+        _lookup_kernel(
+            idx_ref, interests_ref.at[0], cache_ref, out_ref.at[0], rows, sem
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, C, K_pad), interests.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(cand_idx, interests, cache3)
+    return out[:, :, :K]
+
+
+def lookup_score_fused(cache, cand_idx, interests, interpret: bool = False):
+    if interpret or on_tpu():
+        return _lookup_pallas(cache, cand_idx, interests, interpret)
+    return lookup_score_reference(cache, cand_idx, interests)

@@ -51,57 +51,59 @@ def poly_attention_reference(
 
 
 def _poly_kernel(emb_ref, w_ref, codes_ref, mask_ref, bias_ref, out_ref):
-    emb = emb_ref[:]  # (BB, H, D)
+    # One batch row per grid step; all dots are 2-D (Mosaic has no batched
+    # dot_general) and every intermediate stays in VMEM/registers.
+    emb = emb_ref[0]  # (H, D)
     proj = jnp.tanh(
-        jax.lax.dot_general(
-            emb,
-            w_ref[:].astype(emb.dtype),
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    ).astype(emb.dtype)  # (BB, H, P)
+        jnp.dot(emb, w_ref[:].astype(emb.dtype), preferred_element_type=jnp.float32)
+    ).astype(emb.dtype)  # (H, P)
     logits = jax.lax.dot_general(
         proj,
         codes_ref[:].astype(emb.dtype),
-        (((2,), (1,)), ((), ())),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BB, H, K)
-    logits = logits + bias_ref[:].astype(jnp.float32)[:, :, None]
-    valid = mask_ref[:] != 0  # (BB, H)
-    logits = jnp.where(valid[:, :, None], logits, NEG_INF)
-    m = jnp.max(logits, axis=1, keepdims=True)
+    )  # (H, K)
+    logits = logits + bias_ref[0, 0].astype(jnp.float32)[:, None]
+    # minor-dim insertion on sub-32-bit types is unsupported by Mosaic:
+    # broadcast the int32 mask first, compare after.
+    valid = mask_ref[0, 0][:, None] != 0  # (H, 1)
+    logits = jnp.where(valid, logits, NEG_INF)
+    m = jnp.max(logits, axis=0, keepdims=True)
     e = jnp.exp(logits - m)
-    weights = (e / jnp.sum(e, axis=1, keepdims=True)).astype(emb.dtype)  # (BB,H,K)
+    weights = (e / jnp.sum(e, axis=0, keepdims=True)).astype(emb.dtype)  # (H, K)
     out = jax.lax.dot_general(
         weights,
         emb,
-        (((1,), (1,)), ((0,), (0,))),
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BB, K, D)
-    out_ref[:] = out.astype(out_ref.dtype)
+    )  # (K, D)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _poly_pallas(emb, w, codes, mask, bias, interpret: bool):
     B, H, D = emb.shape
     K = codes.shape[0]
-    BB = pick_block(B)
-    grid = (B // BB,)
+    # TPU block tiling: the last two block dims must be 8/128-divisible or
+    # equal to the array dims — give mask/bias a (B, 1, H) layout so the
+    # per-row block (1, 1, H) matches the array's trailing dims exactly.
+    mask3 = mask.reshape(B, 1, H)
+    bias3 = bias.reshape(B, 1, H)
     return pl.pallas_call(
         _poly_kernel,
         out_shape=jax.ShapeDtypeStruct((B, K, D), emb.dtype),
-        grid=grid,
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((BB, H, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w, full
             pl.BlockSpec(memory_space=pltpu.VMEM),  # codes, full
-            pl.BlockSpec((BB, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (BB, K, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, K, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(emb, w, codes, mask, bias)
+    )(emb, w, codes, mask3, bias3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

@@ -1,0 +1,123 @@
+"""Sharded news-embedding inference cache.
+
+A first-class component with no reference counterpart (the reference
+re-encodes every news item on every occurrence; SURVEY.md §2.6): the trained
+news encoder runs once over the whole corpus, producing a (V*N, D) embedding
+table that is row-sharded over the mesh's ``table`` axis.  Downstream lookups
+happen at impression-batch granularity — XLA turns the sharded gather into
+the appropriate ICI collectives (all-gather of the request indices to table
+shards, then an exchange of the hit rows back to the data-parallel owners).
+
+Used by:
+  * cached evaluation (Trainer._run_eval with ``cached=True``): eval needs
+    zero PLM calls per impression — interests come from poly-attention over
+    cached history rows, scores from cached candidate rows;
+  * serving-style scoring via the fused Pallas lookup+score kernel on a
+    single chip (miner_tpu.ops.lookup_score).
+
+Refresh policy: the cache is rebuilt from the current parameters whenever the
+caller asks (e.g. before each eval); staleness semantics during training are
+therefore explicit at the call site, a question the reference never had to
+answer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from miner_tpu.data.device_table import NewsTable
+from miner_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
+from miner_tpu.utils import round_up
+
+
+@dataclasses.dataclass
+class NewsEmbeddingCache:
+    embeddings: jax.Array  # (R, D), row-sharded on `table` when mesh given
+    category: jax.Array  # (R,)
+    category_pad_id: int
+    mesh: Optional[Mesh] = None
+
+    @property
+    def num_rows(self) -> int:
+        return self.embeddings.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.embeddings.shape[1]
+
+    def lookup(self, idx: jax.Array) -> jax.Array:
+        """Gather embedding rows; under a mesh the gather crosses shards."""
+        return jnp.take(self.embeddings, idx, axis=0)
+
+    def lookup_category(self, idx: jax.Array) -> jax.Array:
+        return jnp.take(self.category, idx, axis=0)
+
+    def score(self, cand_idx: jax.Array, interests: jax.Array,
+              fused: bool = False) -> jax.Array:
+        """(B, C, K) per-interest scores for candidate rows.
+
+        ``fused=True`` uses the Pallas lookup+score kernel (single-shard
+        caches only — the kernel DMAs rows from local HBM)."""
+        if fused and self.mesh is None:
+            from miner_tpu.ops.lookup_score import lookup_score_fused
+
+            return lookup_score_fused(self.embeddings, cand_idx, interests)
+        cand = self.lookup(cand_idx)
+        return jnp.einsum("bcd,bkd->bck", cand, interests.astype(cand.dtype))
+
+
+def build_cache(
+    encode_fn: Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array],
+    table: NewsTable,
+    batch_size: int = 512,
+    mesh: Optional[Mesh] = None,
+) -> NewsEmbeddingCache:
+    """Run ``encode_fn(title, title_mask, sapo, sapo_mask) -> (B, D)`` over the
+    whole news table in fixed-size jitted batches.
+
+    The corpus is padded up to a multiple of ``batch_size`` (extra rows reuse
+    row 0 = the pad news) so every call sees one static shape.
+    """
+    R = table.title.shape[0]
+    padded = round_up(R, batch_size)
+    n_batches = padded // batch_size
+
+    encode = jax.jit(encode_fn)
+    chunks = []
+    for b in range(n_batches):
+        start = b * batch_size
+        idx = np.arange(start, start + batch_size)
+        idx = np.where(idx < R, idx, 0).astype(np.int32)
+        idx = jnp.asarray(idx)
+        title = jnp.take(table.title, idx, axis=0)
+        tmask = (title != table.pad_token_id).astype(jnp.int32)
+        if table.sapo is not None:
+            sapo = jnp.take(table.sapo, idx, axis=0)
+            smask = (sapo != table.pad_token_id).astype(jnp.int32)
+        else:
+            sapo = smask = None
+        chunks.append(encode(title, tmask, sapo, smask))
+    emb = jnp.concatenate(chunks, axis=0)[:R]
+
+    category = table.category
+    if mesh is not None and mesh.shape.get(TABLE_AXIS, 1) > 1:
+        # Row-shard over the table axis; pad rows to the shard count.
+        shards = mesh.shape[TABLE_AXIS]
+        R_pad = round_up(R, shards)
+        if R_pad != R:
+            emb = jnp.pad(emb, ((0, R_pad - R), (0, 0)))
+            category = jnp.pad(category, (0, R_pad - R))
+        emb = jax.device_put(emb, NamedSharding(mesh, P(TABLE_AXIS, None)))
+        category = jax.device_put(category, NamedSharding(mesh, P(TABLE_AXIS)))
+    return NewsEmbeddingCache(
+        embeddings=emb,
+        category=category,
+        category_pad_id=table.category_pad_id,
+        mesh=mesh,
+    )
