@@ -78,6 +78,14 @@ def _add_common(p: argparse.ArgumentParser):
                    help="HF checkpoint dir to import PLM weights from")
     p.add_argument("--legacy_poly_mask", action="store_true",
                    help="reproduce the reference's 1e-30 poly-attention mask fill")
+    p.add_argument("--cached_eval", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="evaluate from the news-embedding cache (one PLM pass "
+                        "over the corpus instead of per-impression re-encoding)")
+    p.add_argument("--fused_kernels", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="use Pallas fused kernels (default: auto — on for TPU "
+                        "single-chip)")
 
 
 def add_train_arguments(p: argparse.ArgumentParser):

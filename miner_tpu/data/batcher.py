@@ -7,11 +7,17 @@ from the resident news table (see ``miner_tpu.data.device_table``).
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, Optional, Union
 
 import numpy as np
 
 from miner_tpu.data.samplers import SampleBlock
+
+
+def block_size(block) -> int:
+    if isinstance(block, dict):
+        return len(next(iter(block.values())))
+    return len(block)
 
 
 class Batcher:
@@ -33,9 +39,20 @@ class Batcher:
         return -(-n // self.batch_size)
 
     def batches(
-        self, block: SampleBlock, epoch: int = 0
+        self, block: Union[SampleBlock, Dict[str, np.ndarray]], epoch: int = 0
     ) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(block)
+        """Batch a SampleBlock (index samples) or a dict of row-aligned arrays
+        (e.g. UnBERT packed features)."""
+        if isinstance(block, dict):
+            fields = block
+        else:
+            fields = {
+                "cand_idx": block.cand,
+                "his_idx": block.his,
+                "label": block.label,
+                "impression_id": block.impression_id,
+            }
+        n = block_size(block)
         order = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng((self.seed, epoch, 997))
@@ -47,10 +64,6 @@ class Batcher:
             valid = len(idx)
             if valid < B:  # pad the tail batch by repeating row 0
                 idx = np.concatenate([idx, np.zeros(B - valid, dtype=idx.dtype)])
-            yield {
-                "cand_idx": block.cand[idx],
-                "his_idx": block.his[idx],
-                "label": block.label[idx],
-                "impression_id": block.impression_id[idx],
-                "valid": np.int32(valid),
-            }
+            out = {k: v[idx] for k, v in fields.items()}
+            out["valid"] = np.int32(valid)
+            yield out

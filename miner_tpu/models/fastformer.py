@@ -111,12 +111,14 @@ class FastSelfAttention(nn.Module):
 
 class FastformerLayer(nn.Module):
     cfg: FastformerConfig
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, attn_bias: jax.Array, deterministic: bool):
         cfg = self.cfg
-        attn = FastSelfAttention(cfg, dtype=self.dtype, name="self_attn")(
+        attn = FastSelfAttention(cfg, use_fused=self.use_fused,
+                                 dtype=self.dtype, name="self_attn")(
             x, attn_bias, deterministic
         )
         attn = nn.Dense(
@@ -170,6 +172,7 @@ class Fastformer(nn.Module):
     """The user encoder: position embeddings + N Fastformer layers + pooler."""
 
     cfg: FastformerConfig = FastformerConfig()
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -196,7 +199,8 @@ class Fastformer(nn.Module):
             attention_mask.astype(bool)[:, None, :], 0.0, MASK_FILL
         ).astype(jnp.float32)  # (B, 1, L) broadcast over heads
         for i in range(cfg.num_layers):
-            x = FastformerLayer(cfg, dtype=self.dtype, name=f"layer_{i}")(
+            x = FastformerLayer(cfg, use_fused=self.use_fused,
+                                dtype=self.dtype, name=f"layer_{i}")(
                 x, attn_bias, deterministic
             )
         return AttentionPooling(cfg, dtype=self.dtype, name="pooler")(x, attention_mask)
@@ -212,10 +216,12 @@ class FastformerUserModel(nn.Module):
 
     news_encoder: NewsEncoder
     cfg: FastformerConfig = FastformerConfig()
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.fast_attn = Fastformer(self.cfg, dtype=self.dtype, name="fast_attn")
+        self.fast_attn = Fastformer(self.cfg, use_fused=self.use_fused,
+                                    dtype=self.dtype, name="fast_attn")
 
     def encode_news(self, title_ids, title_mask, sapo_ids=None, sapo_mask=None,
                     deterministic: bool = True):

@@ -60,6 +60,7 @@ class Miner(nn.Module):
     category_embed_dim: int = 100
     category_pad_id: int = 0
     legacy_mask: bool = False
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -77,6 +78,7 @@ class Miner(nn.Module):
             num_context_codes=self.num_context_codes,
             context_code_dim=self.context_code_dim,
             legacy_mask=self.legacy_mask,
+            use_fused=self.use_fused,
             dtype=self.dtype,
             name="poly_attn",
         )

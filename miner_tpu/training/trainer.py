@@ -102,16 +102,42 @@ class Trainer:
         a = self.args
         if self.model_name == "pretrain":
             return PretrainSampler(log, store, a.npratio, seed=a.seed)
+        if self.model_name == "unbert":
+            from miner_tpu.data.unbert_packing import UnbertPacker, UnbertTrainSampler
+
+            return UnbertTrainSampler(
+                log, store, self._unbert_packer(store), a.npratio, seed=a.seed
+            )
         mode = "hard" if a.augmentation_mode == "hard" else "base"
         cls = OnlineSampler if a.online else OfflineSampler
         return cls(log, store, a.npratio, seed=a.seed, mode=mode)
 
+    def _unbert_packer(self, store: NewsStore):
+        from miner_tpu.data.unbert_packing import UnbertPacker
+
+        tok = self.tokenizer
+        sep = tok.sep_token_id if tok.sep_token_id is not None else tok.eos_token_id
+        return UnbertPacker(
+            store, cls_id=tok.cls_token_id, sep_id=sep, pad_id=tok.pad_token_id
+        )
+
     # ----------------------------------------------------------------- model
+    def _use_fused(self) -> bool:
+        if self.args.fused_kernels is not None:
+            return bool(self.args.fused_kernels)
+        from miner_tpu.ops.common import on_tpu
+
+        # Fused Pallas kernels run per-shard; multi-device sharding of
+        # pallas_call needs shard_map, which the DP train step doesn't use
+        # yet — auto-enable only single-chip on TPU.
+        return on_tpu() and self.n_devices == 1
+
     def build_model(self, store: NewsStore):
         a = self.args
         plm = plm_config(a.plm_preset, vocab_size=self.tokenizer.vocab_size,
                          remat=a.remat)
         dtype = self.compute_dtype
+        use_fused = self._use_fused()
         if self.model_name in ("miner", "pretrain"):
             encoder = NewsEncoder(
                 plm_cfg=plm,
@@ -135,6 +161,7 @@ class Trainer:
                 category_embed_dim=a.category_embed_dim,
                 category_pad_id=self.category2id[constants.PAD_TOKEN],
                 legacy_mask=a.legacy_poly_mask,
+                use_fused=use_fused,
                 dtype=dtype,
             )
             return model, "miner"
@@ -155,7 +182,8 @@ class Trainer:
                 hidden_dropout=a.dropout,
                 max_position_embeddings=max(256, a.his_length),
             )
-            return FastformerUserModel(news_encoder=encoder, cfg=cfg), "vanilla"
+            return FastformerUserModel(news_encoder=encoder, cfg=cfg,
+                                       use_fused=use_fused), "vanilla"
         if self.model_name == "unisrec":
             encoder = NewsEncoderMoe(
                 plm_cfg=plm,
@@ -223,6 +251,23 @@ class Trainer:
                 reprs, num_augmentations=self._num_augs
             )
             return loss, reprs
+        if kind == "unbert":
+            logits = model.apply(
+                variables,
+                {k: batch[k] for k in (
+                    "input_ids", "input_mask", "segment_ids",
+                    "news_segment_ids", "sentence_ids", "sentence_mask",
+                )},
+                deterministic=deterministic,
+                rngs=rngs,
+            )
+            if train:
+                loss = losses.binary_cross_entropy_with_logits(
+                    logits, batch["label"]
+                )
+            else:
+                loss = losses.logsigmoid_eval_loss(logits, batch["label"])
+            return loss, logits
         model_batch = table.lookup(batch["cand_idx"], batch["his_idx"])
         if kind == "miner":
             interests, logits = model.apply(
@@ -292,10 +337,14 @@ class Trainer:
         eval_table = (
             table if eval_store is store else self._make_table(eval_store)
         )
+        self._eval_store_for_unbert = eval_store
+
+        from miner_tpu.data.batcher import block_size
 
         batcher = Batcher(a.train_batch_size, drop_last=True, shuffle=True,
                           seed=a.seed)
-        steps_per_epoch = batcher.num_batches(train_log.num_events)
+        block0 = sampler.sample_epoch(0)
+        steps_per_epoch = batcher.num_batches(block_size(block0))
         if steps_per_epoch == 0:
             raise ValueError("no training batches — dataset smaller than batch")
         updates_per_epoch = max(1, steps_per_epoch // a.gradient_accumulation_steps)
@@ -305,7 +354,7 @@ class Trainer:
         warmup = warmup_steps_from_ratio(total_updates, a.warmup_ratio, a.warmup_steps)
 
         model, kind = self.build_model(store)
-        example = next(batcher.batches(sampler.sample_epoch(0)))
+        example = next(batcher.batches(block0))
         example = {k: jnp.asarray(v) for k, v in example.items()}
         params = self._init_params_for_kind(model, kind, table, example)
         from miner_tpu.utils import tree_size
@@ -328,6 +377,11 @@ class Trainer:
         ckpt = CheckpointManager(os.path.join(logger.run_dir, "ckpt"))
         train_step = self._make_train_step(model, kind, table)
         eval_step = self._make_eval_step(model, kind, eval_table)
+        cached_ctx = (
+            (model, kind, eval_table)
+            if self.args.cached_eval and self._supports_cached_eval(kind)
+            else None
+        )
 
         best_loss, best_auc = float("inf"), -float("inf")
         global_step = 0
@@ -354,14 +408,15 @@ class Trainer:
                 if eval_log is not None and global_step % a.eval_steps == 0:
                     scores, eval_loss = self._run_eval(
                         eval_step, state.params, eval_log, logger, epoch,
-                        global_step)
+                        global_step, cached_ctx=cached_ctx)
                     best_loss, best_auc = self._maybe_checkpoint(
                         ckpt, state, scores, eval_loss, best_loss, best_auc, log
                     )
             mean_loss = float(jax.device_get(jnp.mean(jnp.stack(epoch_losses))))
             if eval_log is not None:
                 scores, eval_loss = self._run_eval(
-                    eval_step, state.params, eval_log, logger, epoch, global_step
+                    eval_step, state.params, eval_log, logger, epoch,
+                    global_step, cached_ctx=cached_ctx
                 )
                 best_loss, best_auc = self._maybe_checkpoint(
                     ckpt, state, scores, eval_loss, best_loss, best_auc, log
@@ -375,6 +430,12 @@ class Trainer:
     def _init_params_for_kind(self, model, kind, table, example):
         rng = jax.random.PRNGKey(self.args.seed)
         rngs = {"params": rng, "dropout": rng, "gating": rng}
+        if kind == "unbert":
+            feat = {k: jnp.asarray(example[k]) for k in (
+                "input_ids", "input_mask", "segment_ids",
+                "news_segment_ids", "sentence_ids", "sentence_mask",
+            )}
+            return model.init(rngs, feat)["params"]
         if kind == "pretrain":
             cand = table.lookup_candidates(example["cand_idx"])
             B, C, L = cand["cand_title"].shape
@@ -398,17 +459,83 @@ class Trainer:
         return params
 
     # ------------------------------------------------------------------ eval
+    def _supports_cached_eval(self, kind: str) -> bool:
+        return kind in ("miner", "vanilla") and self.model_name != "unbert"
+
+    def _make_cached_eval_step(self, model, kind: str, table: NewsTable):
+        """Eval step over the news-embedding cache: zero PLM calls per batch.
+
+        The news encoder is deterministic at eval time, so per-news
+        representations are identical whether computed per-impression (the
+        reference's slow path) or once per corpus — this path changes
+        throughput, not scores.
+        """
+        cat_pad = table.category_pad_id
+
+        def eval_step(params, cache_emb, cache_cat, batch):
+            cand_repr = jnp.take(cache_emb, batch["cand_idx"], axis=0)
+            his_repr = jnp.take(cache_emb, batch["his_idx"], axis=0)
+            cand_cat = jnp.take(cache_cat, batch["cand_idx"], axis=0)
+            his_cat = jnp.take(cache_cat, batch["his_idx"], axis=0)
+            his_mask = (his_cat != cat_pad).astype(jnp.int32)
+            out = model.apply(
+                {"params": params},
+                cand_repr, his_repr, cand_cat, his_cat, his_mask,
+                deterministic=True,
+                method=type(model).tail,
+            )
+            if kind == "miner":
+                interests, logits = out
+                loss = losses.miner_eval_loss(interests, logits, batch["label"])
+            else:
+                logits = out
+                loss = losses.logsigmoid_eval_loss(logits, batch["label"])
+            return loss, logits
+
+        return jax.jit(eval_step)
+
+    def _build_eval_cache(self, model, params, table: NewsTable):
+        from miner_tpu.parallel.news_cache import build_cache
+
+        def encode(title, tmask, sapo, smask):
+            return model.apply(
+                {"params": params}, title, tmask, sapo, smask,
+                deterministic=True, method=type(model).encode_news,
+            )
+
+        mesh = self.mesh if self.mesh.devices.size > 1 else None
+        return build_cache(encode, table, batch_size=512, mesh=mesh)
+
     def _run_eval(self, eval_step, params, eval_log: BehaviorsLog,
-                  logger: RunLogger, epoch: int, step: int):
+                  logger: RunLogger, epoch: int, step: int,
+                  cached_ctx=None):
         a = self.args
-        block = EvalSampler(eval_log).sample_all()
+        if self.model_name == "unbert":
+            from miner_tpu.data.unbert_packing import UnbertEvalSampler
+
+            block = UnbertEvalSampler(
+                eval_log, self._eval_store_for_unbert,
+                self._unbert_packer(self._eval_store_for_unbert),
+            ).sample_all()
+        else:
+            block = EvalSampler(eval_log).sample_all()
         evaluator = ImpressionEvaluator(eval_log.eval_targets_by_impression())
         batcher = Batcher(a.eval_batch_size, drop_last=False, shuffle=False)
         total_loss = 0.0
+        cache = None
+        if cached_ctx is not None:
+            model, kind, table = cached_ctx
+            cache = self._build_eval_cache(model, params, table)
+            cached_step = self._make_cached_eval_step(model, kind, table)
         for batch in batcher.batches(block):
             valid = int(batch.pop("valid"))
             dev_batch = shard_batch(self.mesh, batch)
-            loss, logits = eval_step(params, dev_batch)
+            if cache is not None:
+                loss, logits = cached_step(
+                    params, cache.embeddings, cache.category, dev_batch
+                )
+            else:
+                loss, logits = eval_step(params, dev_batch)
             total_loss += float(jax.device_get(loss))
             evaluator.eval_batch(
                 np.asarray(jax.device_get(logits)),
@@ -442,6 +569,7 @@ class Trainer:
         logger = RunLogger(a.eval_path, "eval", vars(a))
         store = self._load_store(a.eval_news_path)
         self._num_augs = 0
+        self._eval_store_for_unbert = store
         eval_log = BehaviorsLog.from_tsv(
             a.eval_behaviors_path, store, self.user2id, a.his_length
         )
@@ -457,8 +585,13 @@ class Trainer:
             payload = ckpt.restore(os.path.basename(a.saved_model_path))
             params = payload["params"]
         eval_step = self._make_eval_step(model, kind, table)
+        cached_ctx = (
+            (model, kind, table)
+            if a.cached_eval and self._supports_cached_eval(kind)
+            else None
+        )
         scores, eval_loss = self._run_eval(
-            eval_step, params, eval_log, logger, 0, 0
+            eval_step, params, eval_log, logger, 0, 0, cached_ctx=cached_ctx
         )
         return scores
 

@@ -1,0 +1,146 @@
+"""News-embedding cache: build, sharded lookup, cached-eval equivalence."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from miner_tpu.data import Batcher, BehaviorsLog, EvalSampler, HashTokenizer, NewsStore
+from miner_tpu.data.device_table import NewsTable
+from miner_tpu.models import Miner, NewsEncoder, PLMConfig
+from miner_tpu.parallel.mesh import MeshConfig, TABLE_AXIS, make_mesh
+from miner_tpu.parallel.news_cache import build_cache
+from tests.fixture_data import make_fixture
+
+TINY = PLMConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = make_fixture(str(tmp_path_factory.mktemp("cache_fix")), num_lines=20)
+    tok = HashTokenizer(vocab_size=1000)
+    cat2id = json.load(open(os.path.join(d, "category2id.json")))
+    user2id = json.load(open(os.path.join(d, "user2id.json")))
+    store = NewsStore.from_tsv(os.path.join(d, "news.tsv"), tok, cat2id, 16, 24)
+    log = BehaviorsLog.from_tsv(os.path.join(d, "behaviors.tsv"), store, user2id, 5)
+    table = NewsTable.from_store(store)
+    enc = NewsEncoder(plm_cfg=TINY, apply_reduce_dim=True, word_embed_dim=32,
+                      use_sapo=True, combine_type="linear")
+    model = Miner(news_encoder=enc, use_category_bias=True, num_context_codes=4,
+                  context_code_dim=16, score_type="weighted",
+                  num_categories=len(cat2id), category_embed_dim=8,
+                  category_pad_id=cat2id["pad"])
+    block = EvalSampler(log).sample_all()
+    batch = next(Batcher(8).batches(block))
+    example = table.lookup(jnp.asarray(batch["cand_idx"]), jnp.asarray(batch["his_idx"]))
+    params = model.init(jax.random.PRNGKey(0), example)["params"]
+    return store, log, table, model, params, block
+
+
+def _encode_fn(model, params):
+    def encode(title, tmask, sapo, smask):
+        return model.apply({"params": params}, title, tmask, sapo, smask,
+                           deterministic=True, method=Miner.encode_news)
+    return encode
+
+
+def test_cache_matches_direct_encoding(setup):
+    store, log, table, model, params, block = setup
+    cache = build_cache(_encode_fn(model, params), table, batch_size=8)
+    assert cache.num_rows == store.num_news * store.num_variants
+    # direct encoding of a few rows must equal cached rows
+    rows = jnp.asarray([0, 1, 5])
+    title = jnp.take(table.title, rows, axis=0)
+    tmask = (title != table.pad_token_id).astype(jnp.int32)
+    sapo = jnp.take(table.sapo, rows, axis=0)
+    smask = (sapo != table.pad_token_id).astype(jnp.int32)
+    direct = model.apply({"params": params}, title, tmask, sapo, smask,
+                         deterministic=True, method=Miner.encode_news)
+    np.testing.assert_allclose(
+        np.asarray(cache.lookup(rows)), np.asarray(direct), atol=1e-5
+    )
+
+
+def test_cached_eval_equals_full_forward(setup):
+    """Scoring from the cache must be numerically identical to the full
+    (per-impression PLM) forward pass at eval time."""
+    store, log, table, model, params, block = setup
+    cache = build_cache(_encode_fn(model, params), table, batch_size=8)
+    batch = next(Batcher(8).batches(block))
+    cand_idx = jnp.asarray(batch["cand_idx"])
+    his_idx = jnp.asarray(batch["his_idx"])
+
+    # full forward
+    model_batch = table.lookup(cand_idx, his_idx)
+    _, full_scores = model.apply({"params": params}, model_batch, deterministic=True)
+
+    # cached tail
+    cand_repr = cache.lookup(cand_idx)
+    his_repr = cache.lookup(his_idx)
+    cand_cat = cache.lookup_category(cand_idx)
+    his_cat = cache.lookup_category(his_idx)
+    his_mask = (his_cat != table.category_pad_id).astype(jnp.int32)
+    _, cached_scores = model.apply(
+        {"params": params}, cand_repr, his_repr, cand_cat, his_cat, his_mask,
+        deterministic=True, method=Miner.tail,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cached_scores), np.asarray(full_scores), atol=1e-5
+    )
+
+
+def test_sharded_cache_lookup(setup):
+    """Row-sharded cache on an 8-device mesh returns the same rows."""
+    store, log, table, model, params, block = setup
+    mesh = make_mesh(MeshConfig(data=2, table=4))
+    cache = build_cache(_encode_fn(model, params), table, batch_size=8, mesh=mesh)
+    sharding = cache.embeddings.sharding
+    assert isinstance(sharding, NamedSharding)
+    assert sharding.spec == P(TABLE_AXIS, None)
+
+    unsharded = build_cache(_encode_fn(model, params), table, batch_size=8)
+    idx = jnp.asarray([[0, 3, 7], [1, 2, 4]], dtype=jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(cache.lookup(idx)), np.asarray(unsharded.lookup(idx)), atol=1e-6
+    )
+    # score path across shards
+    interests = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 4, cache.dim)).astype(np.float32))
+    s1 = cache.score(idx, interests)
+    s2 = unsharded.score(idx, interests)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+def test_fused_model_matches_unfused(setup):
+    """Miner with use_fused (interpret-mode Pallas on CPU) == XLA path."""
+    store, log, table, model, params, block = setup
+    import miner_tpu.ops.common as opc
+    import miner_tpu.ops.poly_attention as pa
+
+    batch = next(Batcher(8).batches(block))
+    model_batch = table.lookup(jnp.asarray(batch["cand_idx"]),
+                               jnp.asarray(batch["his_idx"]))
+    _, base_scores = model.apply({"params": params}, model_batch, deterministic=True)
+
+    import dataclasses
+
+    fused_model = dataclasses.replace(model, use_fused=True)
+    # force the pallas path in interpret mode on CPU
+    orig = pa.on_tpu
+    pa.on_tpu = lambda: True
+    orig_pallas = pa._poly_pallas
+    pa._poly_pallas = lambda *args: orig_pallas(*args[:-1], True)
+    try:
+        _, fused_scores = fused_model.apply(
+            {"params": params}, model_batch, deterministic=True
+        )
+    finally:
+        pa.on_tpu = orig
+        pa._poly_pallas = orig_pallas
+    np.testing.assert_allclose(
+        np.asarray(fused_scores), np.asarray(base_scores), atol=1e-4
+    )

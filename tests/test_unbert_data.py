@@ -1,0 +1,105 @@
+"""UnBERT packing tests + e2e train smoke."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from miner_tpu.data import BehaviorsLog, HashTokenizer, NewsStore
+from miner_tpu.data.unbert_packing import (
+    UnbertEvalSampler,
+    UnbertPacker,
+    UnbertTrainSampler,
+)
+from tests.fixture_data import make_fixture
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = make_fixture(str(tmp_path_factory.mktemp("unbert_fix")), num_lines=15)
+    tok = HashTokenizer(vocab_size=1000)
+    cat2id = json.load(open(os.path.join(d, "category2id.json")))
+    user2id = json.load(open(os.path.join(d, "user2id.json")))
+    store = NewsStore.from_tsv(os.path.join(d, "news.tsv"), tok, cat2id, 16, 24)
+    log = BehaviorsLog.from_tsv(os.path.join(d, "behaviors.tsv"), store, user2id, 5)
+    packer = UnbertPacker(store, cls_id=tok.cls_token_id, sep_id=tok.sep_token_id,
+                          pad_id=tok.pad_token_id, seq_max_len=64,
+                          news_max_len=8, hist_max_len=5)
+    return d, tok, store, log, packer
+
+
+def test_pack_one_layout(setup):
+    _, tok, store, log, packer = setup
+    hist = log.history[0]
+    cand = int(log.pos_row[0])
+    out = packer.pack_one(cand, hist)
+    ids = out["input_ids"]
+    assert ids.shape == (64,)
+    assert ids[0] == tok.cls_token_id
+    cand_len = min(int((store.flat_title()[cand] != tok.pad_token_id).sum()), 8)
+    assert ids[1 + cand_len] == tok.sep_token_id
+    # token-type: 0 over [CLS] cand [SEP], 1 over history
+    seg = out["segment_ids"]
+    assert (seg[: 2 + cand_len] == 0).all()
+    n = int(out["input_mask"].sum())
+    assert (seg[2 + cand_len : n] == 1).all()
+    # news segments: candidate marked 1
+    nseg = out["news_segment_ids"]
+    assert (nseg[1 : 1 + cand_len] == 1).all()
+    # sentence ids sequential, 3 + len(hist) entries
+    n_sent = int(out["sentence_mask"].sum())
+    assert n_sent == 3 + 5
+    np.testing.assert_array_equal(out["sentence_ids"][:n_sent], np.arange(n_sent))
+    np.testing.assert_array_equal(out["sentence_segment_ids"][:3], [0, 0, 0])
+    assert (out["sentence_segment_ids"][3:n_sent] == 1).all()
+
+
+def test_train_sampler_oversamples(setup):
+    _, tok, store, log, packer = setup
+    s = UnbertTrainSampler(log, store, packer, npratio=3, seed=1)
+    assert len(s) == 5 * log.num_events
+    block = s.sample_epoch(0)
+    assert block["input_ids"].shape == (len(s), 64)
+    assert block["label"].shape == (len(s),)
+    assert set(np.unique(block["label"])) <= {0.0, 1.0}
+    # resampling differs across epochs, reproducible within
+    b1 = s.sample_epoch(1)
+    assert not np.array_equal(block["input_ids"], b1["input_ids"])
+    np.testing.assert_array_equal(block["input_ids"], s.sample_epoch(0)["input_ids"])
+
+
+def test_eval_sampler_deterministic(setup):
+    _, tok, store, log, packer = setup
+    s = UnbertEvalSampler(log, store, packer)
+    b1, b2 = s.sample_all(), s.sample_all()
+    np.testing.assert_array_equal(b1["input_ids"], b2["input_ids"])
+    assert len(b1["label"]) == len(log.eval_cand_flat)
+
+
+def test_unbert_train_e2e(setup, tmp_path):
+    from miner_tpu.config import make_parser
+    from miner_tpu.training.trainer import Trainer
+
+    d, *_ = setup
+    argv = [
+        "train_fastformer",
+        "--model_name", "unbert",
+        "--pretrained_tokenizer", "hash:1000",
+        "--user2id_path", os.path.join(d, "user2id.json"),
+        "--category2id_path", os.path.join(d, "category2id.json"),
+        "--train_behaviors_path", os.path.join(d, "behaviors.tsv"),
+        "--train_news_path", os.path.join(d, "news.tsv"),
+        "--eval_behaviors_path", os.path.join(d, "behaviors.tsv"),
+        "--eval_news_path", os.path.join(d, "news.tsv"),
+        "--max_title_length", "16", "--max_sapo_length", "24",
+        "--his_length", "5", "--seed", "3", "--plm_preset", "tiny",
+        "--npratio", "3", "--train_batch_size", "16",
+        "--eval_batch_size", "32", "--num_train_epochs", "1",
+        "--learning_rate", "1e-3", "--logging_steps", "5",
+        "--compute_dtype", "float32",
+        "--metrics", "auc", "group_auc",
+        "--train_path", os.path.join(str(tmp_path), "train"),
+    ]
+    args = make_parser().parse_args(argv)
+    state = Trainer(args).train()
+    assert int(state.step) > 0
