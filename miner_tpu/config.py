@@ -139,6 +139,8 @@ def add_train_arguments(p: argparse.ArgumentParser):
     p.add_argument("--weight_decay", type=float, default=0.01)
     p.add_argument("--logging_steps", type=int, default=200)
     p.add_argument("--eval_steps", type=int, default=100000)
+    p.add_argument("--resume_from", type=str, default=None,
+                   help="checkpoint dir to fully resume (params+optimizer+step)")
 
 
 def add_eval_arguments(p: argparse.ArgumentParser):

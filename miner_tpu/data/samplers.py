@@ -69,19 +69,48 @@ class _BaseTrainSampler:
         npratio: int,
         seed: int = 0,
         mode: str = "base",
+        backend: str = "auto",
     ):
         self.log = log
         self.store = store
         self.npratio = npratio
         self.seed = seed
         self.mode = mode
+        self.backend = backend
         self.num_variants = store.num_variants
 
     def _history_gidx(self) -> np.ndarray:
         # variant 0 -> global index == row
         return self.log.history[self.log.hist_ptr]
 
+    def _use_native(self) -> bool:
+        if self.backend == "numpy":
+            return False
+        from miner_tpu.data import native
+
+        ok = native.native_available()
+        if self.backend == "native" and not ok:
+            raise RuntimeError("native sampler requested but unavailable")
+        return ok
+
     def sample_epoch(self, epoch: int) -> SampleBlock:
+        if self._use_native():
+            from miner_tpu.data import native
+
+            cand, label = native.sample_epoch(
+                self.seed, epoch, self.mode, self.log.num_events,
+                self.npratio + 1, self.num_variants, self.store.num_news,
+                self.log.pos_row, self.log.neg_flat, self.log.neg_offsets,
+            )
+            return SampleBlock(
+                cand=cand,
+                his=self._history_gidx().astype(np.int32),
+                label=label,
+                impression_id=self.log.impression_id.copy(),
+            )
+        return self._sample_epoch_numpy(epoch)
+
+    def _sample_epoch_numpy(self, epoch: int) -> SampleBlock:
         rng = np.random.default_rng((self.seed, epoch))
         E = self.log.num_events
         C = self.npratio + 1
@@ -123,8 +152,8 @@ class _BaseTrainSampler:
 class OfflineSampler(_BaseTrainSampler):
     """Sampled once at construction; every epoch reuses the same block."""
 
-    def __init__(self, log, store, npratio, seed=0, mode="base"):
-        super().__init__(log, store, npratio, seed, mode)
+    def __init__(self, log, store, npratio, seed=0, mode="base", backend="auto"):
+        super().__init__(log, store, npratio, seed, mode, backend)
         self._block = super().sample_epoch(0)
 
     def sample_epoch(self, epoch: int) -> SampleBlock:

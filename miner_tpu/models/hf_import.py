@@ -107,7 +107,7 @@ def load_into_params(params, checkpoint_dir: str, plm_prefix: str):
     """Replace the PLM subtree at ``plm_prefix`` (slash path) in ``params``."""
     import jax
 
-    keys = plm_prefix.split("/")
+    keys = [k for k in plm_prefix.split("/") if k]
     sub = params
     for k in keys:
         sub = sub[k]

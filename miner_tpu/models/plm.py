@@ -218,7 +218,9 @@ class TransformerPLM(nn.Module):
 
         layer_cls = TransformerLayer
         if cfg.remat:
-            layer_cls = nn.remat(TransformerLayer, static_argnums=(2,))
+            # flax passes (module, x, attn_bias, deterministic): the
+            # deterministic flag at position 3 must stay static.
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
                 x, attn_bias, deterministic

@@ -371,10 +371,30 @@ class Trainer:
             accum_steps=a.gradient_accumulation_steps,
             trainable_pred=self._trainable_pred(),
         )
+        if getattr(a, "pretrained_model_path", None):
+            # warm-start model weights from a prior run's checkpoint
+            # (the reference's continued-training flow,
+            # reference: src/trainer_continued.py:106)
+            warm = CheckpointManager(os.path.dirname(a.pretrained_model_path))
+            payload = warm.restore(os.path.basename(a.pretrained_model_path))
+            params = jax.tree_util.tree_map(
+                lambda old, new: jnp.asarray(new, old.dtype), params,
+                payload["params"],
+            )
         state = TrainState.create(params, tx, jax.random.PRNGKey(a.seed + 1))
         state = jax.device_put(state, replicate(self.mesh))
 
         ckpt = CheckpointManager(os.path.join(logger.run_dir, "ckpt"))
+        if getattr(a, "resume_from", None):
+            # true resume: params + optimizer state + step + rng
+            rckpt = CheckpointManager(os.path.dirname(a.resume_from))
+            payload = rckpt.restore(os.path.basename(a.resume_from),
+                                    target=_ckpt_payload(state))
+            state = state.replace(
+                params=payload["params"], opt_state=payload["opt_state"],
+                step=payload["step"], rng=payload["rng"],
+            )
+            log.info("resumed from %s at step %d", a.resume_from, int(state.step))
         train_step = self._make_train_step(model, kind, table)
         eval_step = self._make_eval_step(model, kind, eval_table)
         cached_ctx = (
@@ -510,6 +530,7 @@ class Trainer:
                   logger: RunLogger, epoch: int, step: int,
                   cached_ctx=None):
         a = self.args
+        fast = bool(getattr(a, "fast_eval", False)) and self.model_name != "unbert"
         if self.model_name == "unbert":
             from miner_tpu.data.unbert_packing import UnbertEvalSampler
 
@@ -517,12 +538,24 @@ class Trainer:
                 eval_log, self._eval_store_for_unbert,
                 self._unbert_packer(self._eval_store_for_unbert),
             ).sample_all()
+        elif fast:
+            # train-format (1+npratio) rows scored with softmax probabilities
+            # (reference: src/trainer.py:65-68, src/evaluation.py:87-110)
+            store = self._eval_store_for_unbert
+            fs = OfflineSampler(eval_log, store, a.npratio, seed=a.seed)
+            block = fs.sample_epoch(0)
+            evaluator = FastEvaluator(
+                [row.tolist() for row in block.label.astype(int)]
+            )
         else:
             block = EvalSampler(eval_log).sample_all()
-        evaluator = ImpressionEvaluator(eval_log.eval_targets_by_impression())
+        if not fast:
+            evaluator = ImpressionEvaluator(eval_log.eval_targets_by_impression())
         batcher = Batcher(a.eval_batch_size, drop_last=False, shuffle=False)
         total_loss = 0.0
         cache = None
+        if fast:
+            cached_ctx = None
         if cached_ctx is not None:
             model, kind, table = cached_ctx
             cache = self._build_eval_cache(model, params, table)
@@ -546,7 +579,7 @@ class Trainer:
             a.metrics, save_result=a.save_eval_result, path=logger.run_dir
         )
         logger.log_eval(epoch, step, scores, total_loss)
-        if a.save_eval_result:
+        if a.save_eval_result and hasattr(evaluator, "save_predictions"):
             evaluator.save_predictions(logger.run_dir)
         return scores, total_loss
 
