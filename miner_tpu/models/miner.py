@@ -31,18 +31,26 @@ class CategoryEmbedding(nn.Module):
 
     Emulates ``nn.Embedding(padding_idx=pad_id)``: the pad row is exactly zero
     and receives no gradient (reference: src/model/model.py:42-52).
+    ``pretrained`` (a (num_categories, embed_dim) array) seeds the table —
+    the reference's ``category_embed`` path (reference: src/model/model.py:44-47;
+    its loader was a stub, src/utils.py:32-34 — here it works).
     """
 
     num_categories: int
     embed_dim: int
     pad_id: int
+    pretrained: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, ids: jax.Array) -> jax.Array:
+        if self.pretrained is not None:
+            init = lambda *_: jnp.asarray(self.pretrained, jnp.float32)
+        else:
+            init = nn.initializers.normal(stddev=1.0)
         table = self.param(
             "embedding",
-            nn.initializers.normal(stddev=1.0),
+            init,
             (self.num_categories, self.embed_dim),
         ).astype(self.dtype)
         out = jnp.take(table, ids, axis=0)
@@ -59,6 +67,7 @@ class Miner(nn.Module):
     num_categories: int = 0
     category_embed_dim: int = 100
     category_pad_id: int = 0
+    category_embed: Any = None  # optional pretrained (num_cat, dim) array
     legacy_mask: bool = False
     use_fused: bool = False
     dtype: Dtype = jnp.float32
@@ -66,10 +75,16 @@ class Miner(nn.Module):
     def setup(self):
         embed_dim = self.news_encoder.embed_dim
         if self.use_category_bias:
+            cat_dim = (
+                self.category_embed.shape[1]
+                if self.category_embed is not None
+                else self.category_embed_dim
+            )
             self.category_embedding = CategoryEmbedding(
                 self.num_categories,
-                self.category_embed_dim,
+                cat_dim,
                 self.category_pad_id,
+                pretrained=self.category_embed,
                 dtype=self.dtype,
                 name="category_embedding",
             )

@@ -48,6 +48,9 @@ class PLMConfig:
     position_offset: int = 2
     initializer_range: float = 0.02
     remat: bool = False
+    # fp32 attention softmax (safer); False keeps the whole softmax chain in
+    # the compute dtype — halves the dominant activation tensor on TPU.
+    attn_fp32: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -103,9 +106,10 @@ class SelfAttention(nn.Module):
         )(x)
         qkv = qkv.reshape(B, L, 3, cfg.num_heads, cfg.head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        acc_t = jnp.float32 if cfg.attn_fp32 else self.dtype
         scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, dtype=jnp.float32))
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-        logits = logits + attn_bias  # (B, 1, 1, L) additive mask
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(acc_t) * scale.astype(acc_t)
+        logits = logits + attn_bias.astype(acc_t)  # (B, 1, 1, L) additive mask
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         probs = nn.Dropout(rate=cfg.attention_dropout)(
             probs, deterministic=deterministic

@@ -150,8 +150,12 @@ class Trainer:
             )
             if self.model_name == "pretrain":
                 return encoder, "pretrain"
+            category_embed = None
+            if getattr(a, "category_embed_path", None):
+                category_embed = np.load(a.category_embed_path)
             model = Miner(
                 news_encoder=encoder,
+                category_embed=category_embed,
                 use_category_bias=a.use_category_bias,
                 num_context_codes=a.num_context_codes,
                 context_code_dim=a.context_code_dim,
@@ -317,6 +321,7 @@ class Trainer:
     def train(self):
         a = self.args
         logger = RunLogger(a.train_path, "train", vars(a))
+        logger.enable_tensorboard()
         log = logger.logger
         log.info("devices: %s, mesh: %s", self.n_devices, self.mesh.shape)
 
