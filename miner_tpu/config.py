@@ -23,6 +23,13 @@ def convert_arg_line_to_args(arg_line: str):
     return arg_line.split()
 
 
+class _JoinWords(argparse.Action):
+    """Collect ``nargs='*'`` words back into one space-joined string."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        setattr(namespace, self.dest, " ".join(values) if values else None)
+
+
 def make_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="miner_tpu — TPU-native news recommendation",
@@ -91,7 +98,12 @@ def _add_common(p: argparse.ArgumentParser):
 def add_train_arguments(p: argparse.ArgumentParser):
     _add_common(p)
     # data
-    p.add_argument("--data_name", type=str, default=None)
+    # nargs='*' + join: some reference config files carry a multi-word dataset
+    # name (reference: config/train2_aug.txt "--data_name only swaps changed
+    # topic"), which the reference's whitespace-splitting @file preprocessing
+    # (src/utils.py:67-83) cannot actually parse; accept it gracefully here.
+    p.add_argument("--data_name", nargs="*", default=None, action=_JoinWords,
+                   type=str, metavar="WORD")
     p.add_argument("--train_behaviors_path", type=str)
     p.add_argument("--train_news_path", type=str)
     p.add_argument("--eval_behaviors_path", type=str)
@@ -119,6 +131,11 @@ def add_train_arguments(p: argparse.ArgumentParser):
                    choices=["mean", "max", "weighted"])
     p.add_argument("--dropout", type=float, default=0.2)
     p.add_argument("--pretrained_model_path", type=str, default=None)
+    p.add_argument("--unisrec_pretrained_path", type=str, default=None,
+                   help="RecBole-style UniSRec torch state dict (.pth) grafted "
+                        "strict=False into the model, as the reference does "
+                        "with unisrec_pretained_state_dict.pth "
+                        "(trainer_fastformer.py:134-138)")
     # train loop
     p.add_argument("--train_path", type=str, default="train")
     p.add_argument("--tensorboard_path", type=str, default="runs")
@@ -146,7 +163,8 @@ def add_train_arguments(p: argparse.ArgumentParser):
 def add_eval_arguments(p: argparse.ArgumentParser):
     _add_common(p)
     p.add_argument("--saved_model_path", type=str)
-    p.add_argument("--data_name", type=str, default=None)
+    p.add_argument("--data_name", nargs="*", default=None, action=_JoinWords,
+                   type=str, metavar="WORD")
     p.add_argument("--eval_behaviors_path", type=str)
     p.add_argument("--eval_news_path", type=str)
     p.add_argument("--fast_eval", action="store_true")

@@ -103,6 +103,131 @@ def convert_plm_params(checkpoint_dir: str, num_layers: int) -> Dict:
     return params
 
 
+def convert_unisrec_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Map a RecBole-style UniSRec torch state dict onto our param tree.
+
+    The reference loads ``unisrec_pretrained_weights/unisrec_pretained_state_
+    dict.pth`` twice with ``strict=False`` — once into the news encoder (only
+    the ``moe_adaptor.*`` keys land) and once into the model (the
+    ``position_embedding`` / ``trm_encoder`` / top-level ``LayerNorm`` keys
+    land) (reference: src/trainer_fastformer.py:134-138).  Here both grafts
+    are computed in one pass; QKV projections are fused into the single
+    ``qkv`` kernel our ``TransformerLayer`` uses, and the per-expert PW
+    weights are stacked into the batched (E, D_in, D_out) expert tensor.
+
+    Returns a partial tree: only the keys present in ``sd`` appear.
+    """
+
+    def t(name):
+        return np.asarray(sd[name]).T
+
+    def v(name):
+        return np.asarray(sd[name])
+
+    out: Dict = {}
+    if "position_embedding.weight" in sd:
+        out["position_embedding"] = {"embedding": v("position_embedding.weight")}
+    if "LayerNorm.weight" in sd:
+        out["ln"] = {"scale": v("LayerNorm.weight"), "bias": v("LayerNorm.bias")}
+
+    n_layers = 0
+    while f"trm_encoder.layer.{n_layers}.multi_head_attention.query.weight" in sd:
+        n_layers += 1
+    for i in range(n_layers):
+        p = f"trm_encoder.layer.{i}."
+        out[f"trm_layer_{i}"] = {
+            "attention": {
+                "qkv": {
+                    "kernel": np.concatenate(
+                        [t(p + "multi_head_attention.query.weight"),
+                         t(p + "multi_head_attention.key.weight"),
+                         t(p + "multi_head_attention.value.weight")], axis=1
+                    ),
+                    "bias": np.concatenate(
+                        [v(p + "multi_head_attention.query.bias"),
+                         v(p + "multi_head_attention.key.bias"),
+                         v(p + "multi_head_attention.value.bias")]
+                    ),
+                },
+                "out": {
+                    "kernel": t(p + "multi_head_attention.dense.weight"),
+                    "bias": v(p + "multi_head_attention.dense.bias"),
+                },
+            },
+            "attention_ln": {
+                "scale": v(p + "multi_head_attention.LayerNorm.weight"),
+                "bias": v(p + "multi_head_attention.LayerNorm.bias"),
+            },
+            "ffn_in": {
+                "kernel": t(p + "feed_forward.dense_1.weight"),
+                "bias": v(p + "feed_forward.dense_1.bias"),
+            },
+            "ffn_out": {
+                "kernel": t(p + "feed_forward.dense_2.weight"),
+                "bias": v(p + "feed_forward.dense_2.bias"),
+            },
+            "ffn_ln": {
+                "scale": v(p + "feed_forward.LayerNorm.weight"),
+                "bias": v(p + "feed_forward.LayerNorm.bias"),
+            },
+        }
+
+    n_exps = 0
+    while f"moe_adaptor.experts.{n_exps}.lin.weight" in sd:
+        n_exps += 1
+    if n_exps:
+        moe = {
+            "experts": {
+                "bias": np.stack(
+                    [v(f"moe_adaptor.experts.{i}.bias") for i in range(n_exps)]
+                ),
+                "kernel": np.stack(
+                    [t(f"moe_adaptor.experts.{i}.lin.weight") for i in range(n_exps)]
+                ),
+            }
+        }
+        if "moe_adaptor.w_gate" in sd:
+            moe["w_gate"] = v("moe_adaptor.w_gate")
+        if "moe_adaptor.w_noise" in sd:
+            moe["w_noise"] = v("moe_adaptor.w_noise")
+        out["news_encoder"] = {"moe_adaptor": moe}
+    return out
+
+
+def load_unisrec_pretrained(params, pth_path: str):
+    """Graft a UniSRec pretrained torch checkpoint into ``params``.
+
+    ``strict=False`` semantics: only keys present in both trees are replaced;
+    a shape mismatch is an error (torch would raise there too).
+    """
+    import torch
+
+    sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+    sd = {k: np.asarray(vv) for k, vv in sd.items()}
+    partial = convert_unisrec_state_dict(sd)
+
+    n_loaded = 0
+
+    def merge(old, new, path=""):
+        nonlocal n_loaded
+        if not isinstance(new, dict):
+            if hasattr(old, "shape") and tuple(old.shape) != tuple(new.shape):
+                raise ValueError(
+                    f"shape mismatch at {path}: {tuple(old.shape)} vs "
+                    f"checkpoint {tuple(new.shape)}"
+                )
+            n_loaded += 1
+            return np.asarray(new, dtype=np.float32)
+        out = dict(old)
+        for k, sub in new.items():
+            if k in out:
+                out[k] = merge(out[k], sub, f"{path}/{k}")
+        return out
+
+    merged = merge(params, partial)
+    return merged, n_loaded
+
+
 def load_into_params(params, checkpoint_dir: str, plm_prefix: str):
     """Replace the PLM subtree at ``plm_prefix`` (slash path) in ``params``."""
     import jax

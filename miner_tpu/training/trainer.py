@@ -23,6 +23,7 @@ TPU-native loop design:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -209,19 +210,6 @@ class Trainer:
                           dtype=dtype), "unbert"
         raise ValueError(f"unknown model_name {self.args.model_name!r}")
 
-    def _init_params(self, model, example_batch) -> Any:
-        rng = jax.random.PRNGKey(self.args.seed)
-        params = model.init(
-            {"params": rng, "dropout": rng, "gating": rng}, example_batch
-        )["params"]
-        if self.args.hf_checkpoint:
-            from miner_tpu.models import hf_import
-
-            params = hf_import.load_into_params(
-                params, self.args.hf_checkpoint, plm_prefix="news_encoder/plm"
-            )
-        return params
-
     def _trainable_pred(self) -> Optional[Callable[[str], bool]]:
         if self.model_name == "unisrec":
             # freeze everything but the MoE adaptor
@@ -323,6 +311,7 @@ class Trainer:
         logger = RunLogger(a.train_path, "train", vars(a))
         logger.enable_tensorboard()
         log = logger.logger
+        self._log = log
         log.info("devices: %s, mesh: %s", self.n_devices, self.mesh.shape)
 
         store = self._load_store(a.train_news_path, a.augmentations)
@@ -481,6 +470,19 @@ class Trainer:
                 params, self.args.hf_checkpoint,
                 plm_prefix="plm" if kind == "pretrain" else "news_encoder/plm",
             )
+        if (self.model_name == "unisrec"
+                and getattr(self.args, "unisrec_pretrained_path", None)):
+            # strict=False graft of the external RecBole checkpoint
+            # (reference: src/trainer_fastformer.py:134-138)
+            from miner_tpu.models import hf_import
+
+            params, n = hf_import.load_unisrec_pretrained(
+                params, self.args.unisrec_pretrained_path
+            )
+            getattr(self, "_log", logging.getLogger("miner_tpu")).info(
+                "loaded %d tensors from UniSRec pretrained checkpoint %s",
+                n, self.args.unisrec_pretrained_path,
+            )
         return params
 
     # ------------------------------------------------------------------ eval
@@ -605,6 +607,7 @@ class Trainer:
         """Standalone evaluation from a saved checkpoint."""
         a = self.args
         logger = RunLogger(a.eval_path, "eval", vars(a))
+        self._log = logger.logger
         store = self._load_store(a.eval_news_path)
         self._num_augs = 0
         self._eval_store_for_unbert = store

@@ -113,3 +113,94 @@ def test_shape_mismatch_raises(hf_checkpoint):
     params = plm.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))["params"]
     with pytest.raises(ValueError, match="shape mismatch"):
         load_into_params(params, ckpt_dir, plm_prefix="")
+
+
+# ---------------------------------------------------------------- UniSRec pth
+def test_load_unisrec_pretrained(tmp_path):
+    """A RecBole-style UniSRec state dict grafts into our param tree with
+    strict=False semantics (reference: src/trainer_fastformer.py:134-138):
+    trm layers / position embedding / top LN land in the model, the
+    moe_adaptor experts+gates land in the news encoder, everything else in
+    the dict is ignored, everything else in the tree is untouched."""
+    import torch
+
+    from miner_tpu.models.hf_import import load_unisrec_pretrained
+    from miner_tpu.models.news_encoder import NewsEncoderMoe
+    from miner_tpu.models.unisrec import UniSRec
+
+    rng = np.random.default_rng(0)
+    enc = NewsEncoderMoe(plm_cfg=PLMConfig.tiny(), adaptor_out_dim=24,
+                         n_experts=4)
+    model = UniSRec(news_encoder=enc, max_his_len=5)
+
+    B, C, H, Lt = 2, 3, 5, 8
+
+    def ids(shape):
+        return jnp.asarray(rng.integers(1, 1000, size=shape).astype(np.int32))
+
+    batch = {
+        "cand_title": ids((B, C, Lt)),
+        "cand_title_mask": jnp.ones((B, C, Lt), jnp.int32),
+        "his_title": ids((B, H, Lt)),
+        "his_title_mask": jnp.ones((B, H, Lt), jnp.int32),
+        "his_mask": jnp.ones((B, H), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+    D = 24  # hidden == adaptor_out_dim
+    inner = 256  # sasrec_encoder_cfg intermediate is fixed at 256
+    torch.manual_seed(1)
+    sd = {"position_embedding.weight": torch.randn(5, D),
+          "LayerNorm.weight": torch.randn(D), "LayerNorm.bias": torch.randn(D),
+          "some.unrelated.key": torch.randn(3)}
+    for i in range(2):
+        p = f"trm_encoder.layer.{i}."
+        for nm in ("query", "key", "value"):
+            sd[p + f"multi_head_attention.{nm}.weight"] = torch.randn(D, D)
+            sd[p + f"multi_head_attention.{nm}.bias"] = torch.randn(D)
+        sd[p + "multi_head_attention.dense.weight"] = torch.randn(D, D)
+        sd[p + "multi_head_attention.dense.bias"] = torch.randn(D)
+        sd[p + "multi_head_attention.LayerNorm.weight"] = torch.randn(D)
+        sd[p + "multi_head_attention.LayerNorm.bias"] = torch.randn(D)
+        sd[p + "feed_forward.dense_1.weight"] = torch.randn(inner, D)
+        sd[p + "feed_forward.dense_1.bias"] = torch.randn(inner)
+        sd[p + "feed_forward.dense_2.weight"] = torch.randn(D, inner)
+        sd[p + "feed_forward.dense_2.bias"] = torch.randn(D)
+        sd[p + "feed_forward.LayerNorm.weight"] = torch.randn(D)
+        sd[p + "feed_forward.LayerNorm.bias"] = torch.randn(D)
+    for i in range(4):
+        sd[f"moe_adaptor.experts.{i}.bias"] = torch.randn(64)  # PLM hidden
+        sd[f"moe_adaptor.experts.{i}.lin.weight"] = torch.randn(24, 64)
+    sd["moe_adaptor.w_gate"] = torch.randn(64, 4)
+    sd["moe_adaptor.w_noise"] = torch.randn(64, 4)
+
+    path = str(tmp_path / "unisrec.pth")
+    torch.save(sd, path)
+    merged, n_loaded = load_unisrec_pretrained(params, path)
+
+    # fused qkv = concat of q/k/v transposed kernels
+    q = sd["trm_encoder.layer.0.multi_head_attention.query.weight"].numpy().T
+    k = sd["trm_encoder.layer.0.multi_head_attention.key.weight"].numpy().T
+    vv = sd["trm_encoder.layer.0.multi_head_attention.value.weight"].numpy().T
+    np.testing.assert_allclose(
+        merged["trm_layer_0"]["attention"]["qkv"]["kernel"],
+        np.concatenate([q, k, vv], axis=1), rtol=1e-6)
+    np.testing.assert_allclose(
+        merged["ln"]["scale"], sd["LayerNorm.weight"].numpy(), rtol=1e-6)
+    # expert i kernel = lin.weight.T stacked
+    np.testing.assert_allclose(
+        merged["news_encoder"]["moe_adaptor"]["experts"]["kernel"][2],
+        sd["moe_adaptor.experts.2.lin.weight"].numpy().T, rtol=1e-6)
+    np.testing.assert_allclose(
+        merged["news_encoder"]["moe_adaptor"]["w_gate"],
+        sd["moe_adaptor.w_gate"].numpy(), rtol=1e-6)
+    # PLM tower untouched
+    before = jax.tree_util.tree_leaves(params["news_encoder"]["plm"])
+    after = jax.tree_util.tree_leaves(merged["news_encoder"]["plm"])
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    assert n_loaded > 0
+    # forward still works with the grafted params
+    scores = model.apply({"params": merged}, batch)
+    assert scores.shape == (B, C)
+    assert np.isfinite(np.asarray(scores)).all()

@@ -1,0 +1,112 @@
+"""Tests for the offline tooling (tools/analyze_preds.py, tools/prepare_mind.py
+— the script replacements for the reference's helper notebooks)."""
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
+sys.path.insert(0, TOOLS)
+
+import analyze_preds  # noqa: E402
+
+
+def test_welch_matches_closed_form():
+    rng = np.random.default_rng(0)
+    a = rng.normal(0.0, 1.0, size=500)
+    b = rng.normal(0.3, 1.2, size=400)
+    t, df, p = analyze_preds._welch(a, b)
+    scipy = pytest.importorskip("scipy")
+    t_ref, p_ref = scipy.stats.ttest_ind(a, b, equal_var=False)
+    assert abs(t - t_ref) < 1e-9
+    assert abs(p - p_ref) < 1e-9
+
+
+def test_compare_cmd(tmp_path, capsys):
+    for run, shift in (("a", 0.0), ("b", 0.1)):
+        d = tmp_path / run
+        d.mkdir()
+        rng = np.random.default_rng(1)
+        (d / "auc.txt").write_text(
+            "\n".join(str(x) for x in rng.normal(0.7 + shift, 0.05, size=200))
+        )
+    rc = analyze_preds.main(
+        ["compare", "--run_a", str(tmp_path / "a"), "--run_b",
+         str(tmp_path / "b"), "--metrics", "auc", "--verbose"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auc:" in out and "welch t=" in out
+
+
+def test_preds_cmd(tmp_path, capsys):
+    # canonical dump format (reference: src/evaluation.py:173-175)
+    preds = {"pred": [0.9, 0.1, 0.2, 0.4, 0.6],
+             "impression_id": [1, 1, 1, 2, 2]}
+    p = tmp_path / "preds.pkl"
+    p.write_bytes(pickle.dumps(preds))
+    rc = analyze_preds.main(["preds", str(p), "--top", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "impressions: 2" in out
+
+    # grouped dict format also accepted
+    p2 = tmp_path / "preds2.pkl"
+    p2.write_bytes(pickle.dumps({1: [0.9, 0.1], 2: [0.4, 0.6, 0.2]}))
+    rc = analyze_preds.main(["preds", str(p2)])
+    assert rc == 0
+    assert "impressions: 2" in capsys.readouterr().out
+
+    # bad --candidates entry -> clean error, rc 2
+    rc = analyze_preds.main(
+        ["synth", "--behaviors", "x", "--news", "y", "--candidates", "N1"])
+    assert rc == 2
+
+
+def test_synth_cmd(tmp_path, capsys):
+    news = tmp_path / "news.tsv"
+    news.write_text(
+        "\n".join(f"N{i}\ttitle {i}\tcat{i % 3}\tsapo {i}" for i in range(10)) + "\n"
+    )
+    behaviors = tmp_path / "behaviors.tsv"
+    rows = []
+    for i in range(8):
+        hist = " ".join(f"N{j}" for j in range(i % 4 + 1))
+        rows.append(f"{i}\tU{i}\t2019-11-11 11:11:11\t{hist}\tN5-1 N6-0")
+    behaviors.write_text("\n".join(rows) + "\n")
+
+    out = tmp_path / "synt"
+    rc = analyze_preds.main(
+        ["synth", "--behaviors", str(behaviors), "--news", str(news),
+         "--candidates", "N1:1,N2:0,N3:0", "--num_users", "4",
+         "--min_history", "2", "--out", str(out)]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["impressions"] == 4
+    lines = (out / "behaviors.tsv").read_text().strip().splitlines()
+    assert len(lines) == 4
+    for ln in lines:
+        cols = ln.split("\t")
+        assert cols[4] == "N1-1 N2-0 N3-0"
+        assert len(cols[3].split()) >= 2
+    news_ids = {l.split("\t")[0] for l in (out / "news.tsv").read_text().splitlines()}
+    assert {"N1", "N2", "N3"} <= news_ids
+
+    # the synthetic set must survive the real eval parsing path
+    from miner_tpu.data.behaviors import BehaviorsLog
+    from miner_tpu.data.news_store import NewsStore
+    from miner_tpu.data.tokenization import HashTokenizer
+
+    store = NewsStore.from_tsv(
+        str(out / "news.tsv"), HashTokenizer(vocab_size=512),
+        category2id={"pad": 0, "unk": 1, "cat0": 2, "cat1": 3, "cat2": 4},
+        max_title_length=8, max_sapo_length=8,
+    )
+    log = BehaviorsLog.from_tsv(str(out / "behaviors.tsv"), store,
+                                user2id={"unk": 0}, max_his_click=4)
+    assert log.num_eval_impressions == 4

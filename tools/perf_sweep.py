@@ -1,0 +1,106 @@
+"""Sweep Miner train-step throughput across perf knobs on the live TPU.
+
+Usage: python tools/perf_sweep.py [--quick]
+Prints one line per config: B, remat, attn_fp32, fused, step_ms, examples/s.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+
+def run_one(B, remat, attn_fp32, use_fused, steps=8):
+    from __graft_entry__ import _build_miner, _synthetic_batch
+    from miner_tpu.config import plm_config
+    from miner_tpu.models import Miner, NewsEncoder
+    from miner_tpu.training import losses
+    from miner_tpu.training.optim import make_optimizer
+    from miner_tpu.training.train_state import TrainState
+
+    C, H, Lt, Ls = 5, 50, 32, 128
+    vocab, n_cat = 30522, 32
+    rng = np.random.default_rng(0)
+
+    plm = plm_config("roberta_base", vocab_size=vocab, remat=remat)
+    plm = type(plm)(**{**plm.__dict__, "attn_fp32": attn_fp32})
+    encoder = NewsEncoder(
+        plm_cfg=plm, apply_reduce_dim=True, word_embed_dim=256,
+        use_sapo=True, combine_type="linear", dropout=0.2, dtype=jnp.bfloat16,
+    )
+    model = Miner(
+        news_encoder=encoder, use_category_bias=True, num_context_codes=32,
+        context_code_dim=200, score_type="weighted", dropout=0.2,
+        num_categories=n_cat, category_embed_dim=100, category_pad_id=0,
+        use_fused=use_fused, dtype=jnp.bfloat16,
+    )
+    batch = _synthetic_batch(rng, B, C, H, Lt, Ls, vocab, n_cat)
+    label = jnp.asarray(np.eye(C, dtype=np.float32)[rng.integers(0, C, size=B)])
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, batch
+    )["params"]
+    tx = make_optimizer(params, learning_rate=2e-5, warmup_steps=10,
+                        total_steps=1000, weight_decay=0.01, max_grad_norm=1.0)
+    state = TrainState.create(params=params, tx=tx, rng=jax.random.PRNGKey(3))
+
+    @jax.jit
+    def train_step(state, batch, label):
+        def loss_fn(p):
+            interest, scores = model.apply(
+                {"params": p}, batch, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(2), state.step)},
+            )
+            return losses.miner_loss(interest, scores, label)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    # float() forces a full sync — block_until_ready is unreliable through
+    # the remote-execution tunnel (see bench.py).
+    state, loss = train_step(state, batch, label)  # compile
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = train_step(state, batch, label)
+    float(loss)
+    dt = (time.perf_counter() - t0) / steps
+    return dt * 1e3, B / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=str, default=None,
+                    help="semicolon list: B,remat,attn_fp32,fused (1/0)")
+    args = ap.parse_args()
+
+    if args.configs:
+        cfgs = []
+        for c in args.configs.split(";"):
+            b, r, a, f = c.split(",")
+            cfgs.append((int(b), bool(int(r)), bool(int(a)), bool(int(f))))
+    else:
+        cfgs = [
+            (16, True, True, True),    # current bench config
+            (16, True, False, True),   # bf16 softmax
+            (32, True, False, True),   # bigger batch
+            (8, False, False, True),   # no remat, smaller batch
+        ]
+    for (B, remat, attn_fp32, fused) in cfgs:
+        try:
+            ms, eps = run_one(B, remat, attn_fp32, fused)
+            print(f"B={B:3d} remat={int(remat)} attn_fp32={int(attn_fp32)} "
+                  f"fused={int(fused)}  step={ms:8.1f}ms  {eps:7.2f} ex/s", flush=True)
+        except Exception as e:  # OOM etc.
+            print(f"B={B:3d} remat={int(remat)} attn_fp32={int(attn_fp32)} "
+                  f"fused={int(fused)}  FAILED: {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
