@@ -1,18 +1,21 @@
-"""Headline benchmark: Miner training throughput (examples/s/chip) on TPU.
+"""Headline benchmark vs the reference's own measured baseline.
 
-Geometry matches the canonical reference config (config/train2.txt): title 32
-/ sapo 128 tokens, history 50, npratio 4 (5 candidates), K=32 context codes,
-word_embed_dim 256, category bias, weighted scoring — with a full-size
-(12-layer, 768-hidden) PLM tower in bf16.
+The reference publishes exactly one throughput number: an UnBERT evaluation
+progress bar — 1167 batches in 21:12 (~0.92 batch/s at eval_batch_size 16-32,
+i.e. ~15-30 candidates/s) on its single GPU (BASELINE.md; reference:
+helper_val.ipynb cell 287). The headline metric is therefore UnBERT eval
+throughput in candidates/s/chip, apples-to-apples: same model family
+(12-layer BERT over a 300-token packed sequence + full-depth news-level
+encoder), scoring one candidate per row, fwd-only. ``vs_baseline`` divides by
+30 (the generous end of the reference's range).
 
-Baseline: the reference repo publishes no training throughput. Its only
-throughput evidence is an UnBERT eval progress bar (~0.92 batch/s at
-eval_batch_size 16-32 => ~15-30 candidates/s on its single GPU; see
-BASELINE.md). We conservatively take 30 examples/s as the GPU-baseline
-estimate for ``vs_baseline`` and will refine it if a measured baseline
-becomes available.
+The JSON line also carries ``details.miner_train_examples_per_sec_per_chip``:
+training throughput of the flagship MINER model at the canonical
+config/train2.txt geometry (title 32 / sapo 128 tokens, history 50, npratio 4,
+K=32, roberta-base towers, bf16, remat). The reference publishes no training
+throughput to compare against; we track it across rounds.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
 """
 from __future__ import annotations
 
@@ -24,10 +27,65 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-GPU_BASELINE_EXAMPLES_PER_SEC = 30.0
+GPU_BASELINE_EVAL_CANDIDATES_PER_SEC = 30.0
 
 
-def main():
+def _sync(x):
+    # float() forces a full sync — block_until_ready is unreliable through
+    # the remote-execution tunnel.
+    return float(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def bench_unbert_eval(n_steps: int = 10):
+    """Candidates/s/chip for UnBERT eval at the reference geometry:
+    seq 300, 20 news of ≤20 tokens (entities.py:492-495), bert-base width,
+    full-depth news encoder (model_unbert.py:70), nseg aggregation."""
+    from miner_tpu.config import plm_config
+    from miner_tpu.models.unbert import UNBert
+
+    B, L, S = 64, 300, 21
+    vocab = 30522
+    cfg = plm_config("bert_base", vocab_size=vocab, gelu_approx=True)
+    import dataclasses as dc
+    cfg = dc.replace(cfg, type_vocab_size=2)
+    model = UNBert(cfg=cfg, num_news_layers=cfg.num_layers, news_mode="nseg",
+                   dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    starts = np.sort(
+        np.stack([rng.choice(np.arange(1, L), size=S - 1, replace=False)
+                  for _ in range(B)]), axis=1)
+    sentence_ids = np.concatenate(
+        [np.zeros((B, 1), np.int32), starts.astype(np.int32)], axis=1)[:, :S]
+    news_seg = np.zeros((B, L), np.int32)
+    for b in range(B):
+        for i in range(S - 1):
+            news_seg[b, sentence_ids[b, i]:sentence_ids[b, i + 1]] = i
+        news_seg[b, sentence_ids[b, -1]:] = S - 1
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(4, vocab, size=(B, L)).astype(np.int32)),
+        "input_mask": jnp.ones((B, L), jnp.int32),
+        "segment_ids": jnp.asarray((news_seg > 0).astype(np.int32)),
+        "news_segment_ids": jnp.asarray(np.minimum(news_seg, 63)),
+        "sentence_ids": jnp.asarray(sentence_ids),
+        "sentence_mask": jnp.ones((B, S), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+    @jax.jit
+    def eval_step(p, batch):
+        return model.apply({"params": p}, batch, deterministic=True)
+
+    _sync(eval_step(params, batch))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = eval_step(params, batch)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return (n_steps * B) / dt / jax.device_count()
+
+
+def bench_miner_train(n_steps: int = 10):
     from __graft_entry__ import _build_miner, _synthetic_batch
     from miner_tpu.training import losses
     from miner_tpu.training.optim import make_optimizer
@@ -41,7 +99,8 @@ def main():
     # don't fit 16GB HBM for backward; rematerializing layers trades ~30%
     # FLOPs for >10x activation-memory reduction.
     model = _build_miner(plm_preset="roberta_base", vocab=vocab, n_cat=n_cat,
-                         dtype=jnp.bfloat16, remat=True, use_fused=True)
+                         dtype=jnp.bfloat16, remat=True, use_fused=True,
+                         gelu_approx=True)
     batch = _synthetic_batch(rng, B, C, H, Lt, Ls, vocab, n_cat)
     label = jnp.asarray(np.eye(C, dtype=np.float32)[rng.integers(0, C, size=B)])
 
@@ -65,25 +124,34 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    # warmup / compile (float() forces a full sync — block_until_ready is
-    # unreliable through the remote-execution tunnel)
     state, loss = train_step(state, batch, label)
-    float(loss)
-
-    n_steps = 10
+    _sync(loss)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, loss = train_step(state, batch, label)
-    float(loss)
+    _sync(loss)
     dt = time.perf_counter() - t0
+    return (n_steps * B) / dt / jax.device_count()
 
-    n_chips = jax.device_count()
-    examples_per_sec = (n_steps * B) / dt / n_chips
+
+def main():
+    # dropout-mask generation via the TPU hardware rbg PRNG (see
+    # training/trainer.py:_configure_prng)
+    if jax.default_backend() not in ("cpu", "gpu"):
+        jax.config.update("jax_default_prng_impl", "rbg")
+
+    eval_cps = bench_unbert_eval()
+    train_eps = bench_miner_train()
     print(json.dumps({
-        "metric": "miner_train_examples_per_sec_per_chip",
-        "value": round(examples_per_sec, 2),
-        "unit": "examples/s/chip",
-        "vs_baseline": round(examples_per_sec / GPU_BASELINE_EXAMPLES_PER_SEC, 3),
+        "metric": "unbert_eval_candidates_per_sec_per_chip",
+        "value": round(eval_cps, 2),
+        "unit": "candidates/s/chip",
+        "vs_baseline": round(eval_cps / GPU_BASELINE_EVAL_CANDIDATES_PER_SEC, 3),
+        "details": {
+            "miner_train_examples_per_sec_per_chip": round(train_eps, 2),
+            "baseline_source": "UnBERT eval ~0.92 batch/s x 32 on the "
+                               "reference GPU (helper_val.ipynb cell 287)",
+        },
     }))
 
 

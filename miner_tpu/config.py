@@ -93,6 +93,20 @@ def _add_common(p: argparse.ArgumentParser):
                    default=None,
                    help="use Pallas fused kernels (default: auto — on for TPU "
                         "single-chip)")
+    p.add_argument("--attn_fp32", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fp32 attention softmax in the PLM towers; "
+                        "--no-attn_fp32 keeps the softmax chain in the "
+                        "compute dtype (halves the L^2 activation tensor)")
+    p.add_argument("--gelu_approx", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="tanh-approximate gelu (default: auto — on for bf16 "
+                        "compute, off for fp32)")
+    p.add_argument("--rng_impl", type=str, default=None,
+                   choices=["threefry2x32", "rbg"],
+                   help="JAX PRNG implementation (default: rbg on TPU — "
+                        "dropout mask generation is much cheaper — else "
+                        "threefry)")
 
 
 def add_train_arguments(p: argparse.ArgumentParser):
@@ -131,6 +145,13 @@ def add_train_arguments(p: argparse.ArgumentParser):
                    choices=["mean", "max", "weighted"])
     p.add_argument("--dropout", type=float, default=0.2)
     p.add_argument("--pretrained_model_path", type=str, default=None)
+    p.add_argument("--unbert_news_layers", type=int, default=None,
+                   help="depth of the UnBERT news-level encoder (default: "
+                        "full PLM depth, matching model_unbert.py:70)")
+    p.add_argument("--unbert_news_mode", type=str, default="nseg",
+                   choices=["nseg", "mean", "attention"],
+                   help="UnBERT word->news aggregation (reference: "
+                        "model_unbert.py:160-200)")
     p.add_argument("--unisrec_pretrained_path", type=str, default=None,
                    help="RecBole-style UniSRec torch state dict (.pth) grafted "
                         "strict=False into the model, as the reference does "
@@ -190,7 +211,9 @@ def add_eval_arguments(p: argparse.ArgumentParser):
     p.add_argument("--pretrained_embedding", type=str, default=None)
 
 
-def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = False):
+def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = False,
+               gelu_approx: Optional[bool] = None, attn_fp32: Optional[bool] = None,
+               fused_attention: Optional[bool] = None):
     from miner_tpu.models.plm import PLMConfig
     import dataclasses as dc
 
@@ -214,4 +237,10 @@ def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = Fals
         cfg = dc.replace(cfg, vocab_size=vocab_size)
     if remat:
         cfg = dc.replace(cfg, remat=True)
+    if gelu_approx is not None:
+        cfg = dc.replace(cfg, gelu_approx=gelu_approx)
+    if attn_fp32 is not None:
+        cfg = dc.replace(cfg, attn_fp32=attn_fp32)
+    if fused_attention is not None:
+        cfg = dc.replace(cfg, fused_attention=fused_attention)
     return cfg

@@ -51,6 +51,14 @@ class PLMConfig:
     # fp32 attention softmax (safer); False keeps the whole softmax chain in
     # the compute dtype — halves the dominant activation tensor on TPU.
     attn_fp32: bool = True
+    # tanh-approximate gelu: cheaper on the VPU than exact erf; the
+    # approximation error (~1e-3 relative) is below bf16 resolution, so it is
+    # the right default for bf16 compute. Keep exact for fp32 HF-parity runs.
+    gelu_approx: bool = False
+    # fused Pallas attention (ops/mha.py): QK^T + mask + softmax + dropout +
+    # PV in one VMEM-resident kernel with hardware-PRNG dropout; applies to
+    # lane-aligned sequence lengths (L % 128 == 0) on TPU.
+    fused_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -104,8 +112,29 @@ class SelfAttention(nn.Module):
         qkv = nn.Dense(
             3 * D, dtype=self.dtype, kernel_init=dense_init(cfg), name="qkv"
         )(x)
-        qkv = qkv.reshape(B, L, 3, cfg.num_heads, cfg.head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if cfg.fused_attention:
+            from miner_tpu.ops.mha import fused_mha, mha_available
+
+            if mha_available(L, self.dtype):
+                rate = 0.0 if deterministic else cfg.attention_dropout
+                if rate > 0.0:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0, 2**31 - 1,
+                        dtype=jnp.int32)
+                else:
+                    seed = jnp.zeros((1,), jnp.int32)
+                mask = (attn_bias[:, 0, 0, :] == 0).astype(jnp.int32)  # (B, L)
+                ctx = fused_mha(qkv, mask, seed, cfg.num_heads, rate)
+                return nn.Dense(
+                    D, dtype=self.dtype, kernel_init=dense_init(cfg),
+                    name="out",
+                )(ctx)
+        # slice on the output dim, then split heads: the (B,L,3,H,Dh) reshape
+        # forced XLA into large layout copies of the fused projection (8-12%
+        # of step time in the trace); lane-dim slices stay copy-free
+        q = qkv[..., :D].reshape(B, L, cfg.num_heads, cfg.head_dim)
+        k = qkv[..., D:2 * D].reshape(B, L, cfg.num_heads, cfg.head_dim)
+        v = qkv[..., 2 * D:].reshape(B, L, cfg.num_heads, cfg.head_dim)
         acc_t = jnp.float32 if cfg.attn_fp32 else self.dtype
         scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, dtype=jnp.float32))
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(acc_t) * scale.astype(acc_t)
@@ -146,7 +175,7 @@ class TransformerLayer(nn.Module):
             kernel_init=dense_init(cfg),
             name="ffn_in",
         )(x)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=cfg.gelu_approx)
         h = nn.Dense(
             cfg.hidden_size, dtype=self.dtype, kernel_init=dense_init(cfg), name="ffn_out"
         )(h)

@@ -14,10 +14,14 @@ src/model/model_unbert.py:18-289):
   * the head concatenates the word-level CLS and news-level CLS and projects
     to 2 logits, returning ``logits[:, 1]`` as the click score.
 
-Only the ``nseg`` news aggregation mode is implemented — it is the reference
-default and the only gather-based mode with static shapes; ``mean`` /
-``attention`` modes used dynamic per-row segment sums that do not map to TPU
-and were unused by the experiment configs.
+All three news-aggregation modes are implemented (reference:
+src/model/model_unbert.py:160-200). ``nseg`` (the default) gathers the hidden
+state at each news' first token. ``mean`` / ``attention`` are segment
+reductions over each news' token span [sentence_ids[i], sentence_ids[i+1]);
+the reference computed them with data-dependent ``index_add_`` loops — here
+they are one static-shape masked einsum on the MXU. Deviation: padding tokens
+are excluded from the last news' span (the reference's size arithmetic folds
+trailing pad tokens into the final news' mean).
 """
 from __future__ import annotations
 
@@ -41,7 +45,30 @@ NUM_NEWS_SEGMENTS = 64
 class UNBert(nn.Module):
     cfg: PLMConfig
     num_news_layers: int | None = None  # defaults to cfg.num_layers
+    news_mode: str = "nseg"  # nseg | mean | attention
     dtype: Dtype = jnp.float32
+
+    def _segment_weights(self, batch, L: int) -> jax.Array:
+        """(B, S, L) membership mask: token t belongs to news i iff
+        sentence_ids[i] <= t < sentence_ids[i+1] (next *valid* sentence, else
+        end of the attended sequence)."""
+        starts = batch["sentence_ids"]  # (B, S)
+        smask = batch["sentence_mask"].astype(bool)  # (B, S)
+        B, S = starts.shape
+        next_start = jnp.concatenate(
+            [starts[:, 1:], jnp.full((B, 1), L, starts.dtype)], axis=1
+        )
+        next_valid = jnp.concatenate(
+            [smask[:, 1:], jnp.zeros((B, 1), bool)], axis=1
+        )
+        ends = jnp.where(next_valid, next_start, L)
+        pos = jnp.arange(L, dtype=starts.dtype)
+        member = (pos[None, None, :] >= starts[:, :, None]) & (
+            pos[None, None, :] < ends[:, :, None]
+        )
+        member &= smask[:, :, None]
+        member &= batch["input_mask"].astype(bool)[:, None, :]
+        return member
 
     @nn.compact
     def __call__(self, batch: Dict[str, jax.Array], deterministic: bool = True) -> jax.Array:
@@ -87,9 +114,24 @@ class UNBert(nn.Module):
                 x, word_bias, deterministic
             )
 
-        # nseg aggregation: gather the hidden state at each news' first token.
-        sentence_ids = batch["sentence_ids"]  # (B, S) positions into L
-        news_seq = jnp.take_along_axis(x, sentence_ids[..., None], axis=1)  # (B, S, D)
+        if self.news_mode == "nseg":
+            # gather the hidden state at each news' first token
+            sentence_ids = batch["sentence_ids"]  # (B, S) positions into L
+            news_seq = jnp.take_along_axis(x, sentence_ids[..., None], axis=1)
+        elif self.news_mode in ("mean", "attention"):
+            w = self._segment_weights(batch, L).astype(self.dtype)  # (B, S, L)
+            if self.news_mode == "attention":
+                # per-token weights from a Dense over the flattened sequence
+                # (reference: model_unbert.py:186-193's att_mapping)
+                tok_w = nn.Dense(
+                    L, dtype=self.dtype, kernel_init=dense_init(cfg),
+                    name="att_mapping",
+                )(x.reshape(x.shape[0], -1))  # (B, L)
+                w = w * tok_w[:, None, :]
+            denom = jnp.sum(w, axis=-1, keepdims=True) + 1e-6
+            news_seq = jnp.einsum("bsl,bld->bsd", w, x) / denom
+        else:
+            raise ValueError(f"unknown news_mode {self.news_mode!r}")
 
         news_bias = jnp.where(
             batch["sentence_mask"][:, None, None, :].astype(bool), 0.0, -1e9

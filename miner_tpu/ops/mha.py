@@ -1,0 +1,227 @@
+"""Fused multi-head self-attention (Pallas TPU) with in-kernel dropout.
+
+Replaces the PLM tower's attention chain (reference math:
+HF BertSelfAttention — logits = QK^T/sqrt(d) + mask; softmax; dropout; PV)
+with one VMEM-resident kernel per sequence:
+
+  * eats the fused-QKV projection output (N, L, 3D) directly — no head-major
+    layout copy through HBM (the (B,L,3,H,Dh) reshape cost 8-12% of the
+    train step in traces);
+  * the (L, L) logits / probs / dropout-mask tensors never touch HBM;
+  * dropout bits come from the TPU hardware PRNG (pltpu.prng_random_bits),
+    seeded per (sequence, layer) — the backward pass reseeds identically and
+    regenerates the same mask, so nothing random is stored.
+
+Backward is a second Pallas kernel (custom_vjp) using the standard softmax
+VJP with dropout folded in:
+
+  dV = Pd^T dO,  dPd = dO V^T,  dP = keep ? dPd/keep_prob : 0,
+  dS = P * (dP - rowsum(dP * P)),  dQ = scale * dS K,  dK = scale * dS^T Q.
+
+Applied when L is a multiple of 128 (the sapo/packed-sequence towers — the
+dominant cost); shorter fields (title L=32) keep the XLA path where the
+(L, L) tensors are small.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from miner_tpu.ops.common import on_tpu
+
+NEG_INF = -1e9
+
+
+def mha_reference(qkv, mask, num_heads: int, dropout_rate: float = 0.0):
+    """XLA reference (no dropout — matches the kernel at rate 0 /
+    deterministic). qkv: (N, L, 3D), mask: (N, L) -> (N, L, D)."""
+    N, L, D3 = qkv.shape
+    D = D3 // 3
+    Dh = D // num_heads
+    q = qkv[..., :D].reshape(N, L, num_heads, Dh)
+    k = qkv[..., D:2 * D].reshape(N, L, num_heads, Dh)
+    v = qkv[..., 2 * D:].reshape(N, L, num_heads, Dh)
+    scale = 1.0 / jnp.sqrt(jnp.float32(Dh))
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    s = jnp.where(mask.astype(bool)[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1).astype(qkv.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(N, L, D)
+
+
+def _dropout_threshold(rate: float) -> int:
+    # keep iff bits >= threshold; P(keep) = 1 - rate over uint32 range
+    return min(int(rate * 4294967296.0), 4294967295)
+
+
+def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, num_heads: int,
+                head_dim: int, dropout_rate: float):
+    n = pl.program_id(0)
+    L = qkv_ref.shape[1]
+    D = num_heads * head_dim
+    dropping = dropout_rate > 0.0
+    if dropping:
+        pltpu.prng_seed(seed_ref[0], n)
+        thresh = _dropout_threshold(dropout_rate)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+
+    block = qkv_ref[0]  # (L, 3D)
+    valid = mask_ref[n][None, :] != 0  # (1, L)
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    for h in range(num_heads):
+        q = block[:, h * head_dim:(h + 1) * head_dim]
+        k = block[:, D + h * head_dim: D + (h + 1) * head_dim]
+        v = block[:, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (L, L)
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        if dropping:
+            bits = pltpu.prng_random_bits((L, L))
+            keep = pltpu.bitcast(bits, jnp.uint32) >= jnp.uint32(thresh)
+            p = jnp.where(keep, p * inv_keep, 0.0)
+        ctx = jnp.dot(p.astype(block.dtype), v,
+                      preferred_element_type=jnp.float32)  # (L, Dh)
+        out_ref[0, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(out_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *,
+                num_heads: int, head_dim: int, dropout_rate: float):
+    n = pl.program_id(0)
+    L = qkv_ref.shape[1]
+    D = num_heads * head_dim
+    dropping = dropout_rate > 0.0
+    if dropping:
+        pltpu.prng_seed(seed_ref[0], n)  # identical stream to forward
+        thresh = _dropout_threshold(dropout_rate)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+
+    block = qkv_ref[0]
+    dout = dout_ref[0]  # (L, D)
+    valid = mask_ref[n][None, :] != 0
+    scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
+    for h in range(num_heads):
+        q = block[:, h * head_dim:(h + 1) * head_dim]
+        k = block[:, D + h * head_dim: D + (h + 1) * head_dim]
+        v = block[:, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+        do = dout[:, h * head_dim:(h + 1) * head_dim]  # (L, Dh)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(valid, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (L, L) fp32
+        if dropping:
+            bits = pltpu.prng_random_bits((L, L))
+            keep = pltpu.bitcast(bits, jnp.uint32) >= jnp.uint32(thresh)
+            pd = jnp.where(keep, p * inv_keep, 0.0)
+        else:
+            pd = p
+        pd_lp = pd.astype(block.dtype)
+        # dV = Pd^T dO
+        dv = jax.lax.dot_general(
+            pd_lp, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (L, Dh)
+        # dPd = dO V^T
+        dpd = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (L, L)
+        if dropping:
+            dp = jnp.where(keep, dpd * inv_keep, 0.0)
+        else:
+            dp = dpd
+        r = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - r) * scale).astype(block.dtype)  # (L, L)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dqkv_ref[0, :, h * head_dim:(h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, D + h * head_dim: D + (h + 1) * head_dim] = (
+            dk.astype(dqkv_ref.dtype))
+        dqkv_ref[0, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim] = (
+            dv.astype(dqkv_ref.dtype))
+
+
+def _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret=False):
+    N, L, D3 = qkv.shape
+    D = D3 // 3
+    kern = functools.partial(
+        _fwd_kernel, num_heads=num_heads, head_dim=D // num_heads,
+        dropout_rate=dropout_rate,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (scalar vector)
+            pl.BlockSpec((1, L, D3), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask, full (N, L)
+        ],
+        out_specs=pl.BlockSpec((1, L, D), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L, D), qkv.dtype),
+        interpret=interpret,
+    )(seed, qkv, mask)
+
+
+def _call_bwd(qkv, mask, seed, dout, num_heads, dropout_rate, interpret=False):
+    N, L, D3 = qkv.shape
+    D = D3 // 3
+    kern = functools.partial(
+        _bwd_kernel, num_heads=num_heads, head_dim=D // num_heads,
+        dropout_rate=dropout_rate,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, D3), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mask, full (N, L)
+            pl.BlockSpec((1, L, D), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, L, D3), lambda n: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, L, D3), qkv.dtype),
+        interpret=interpret,
+    )(seed, qkv, mask, dout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_mha(qkv, mask, seed, num_heads: int, dropout_rate: float = 0.0,
+              interpret: bool = False):
+    """Fused attention. qkv (N, L, 3D), mask (N, L) int32, seed (1,) int32
+    (ignored when dropout_rate == 0). Returns context (N, L, D)."""
+    return _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret)
+
+
+def _fused_mha_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret):
+    out = _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret)
+    return out, (qkv, mask, seed)
+
+
+def _fused_mha_bwd(num_heads, dropout_rate, interpret, res, g):
+    qkv, mask, seed = res
+    dqkv = _call_bwd(qkv, mask, seed, g.astype(qkv.dtype), num_heads,
+                     dropout_rate, interpret)
+    return dqkv, None, None
+
+
+fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
+
+
+def mha_available(L: int, dtype) -> bool:
+    """Kernel applicability: TPU backend, lane-aligned sequence length."""
+    return on_tpu() and L % 128 == 0

@@ -68,6 +68,21 @@ def _dtype(name: str):
     return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
 
 
+def _configure_prng(impl: Optional[str]):
+    """Pick the PRNG implementation for dropout-mask generation.
+
+    threefry2x32 (JAX's default) costs ~25% of a training forward pass at
+    roberta-base geometry (measured, tools/perf_triage.py); on TPU the
+    hardware-accelerated ``rbg`` generator makes mask generation nearly free
+    while staying reproducible per (seed, step).  Auto: rbg on TPU, default
+    elsewhere.
+    """
+    if impl is None:
+        impl = "rbg" if jax.default_backend() not in ("cpu", "gpu") else None
+    if impl:
+        jax.config.update("jax_default_prng_impl", impl)
+
+
 class Trainer:
     def __init__(self, args):
         self.args = args
@@ -80,6 +95,7 @@ class Trainer:
         self.mesh = make_mesh(MeshConfig(args.mesh_data, args.mesh_table))
         self.compute_dtype = _dtype(args.compute_dtype)
         self.n_devices = self.mesh.devices.size
+        _configure_prng(getattr(args, "rng_impl", None))
 
     # ------------------------------------------------------------------ data
     def _load_store(self, news_path: str, augmentations=None) -> NewsStore:
@@ -135,9 +151,14 @@ class Trainer:
 
     def build_model(self, store: NewsStore):
         a = self.args
-        plm = plm_config(a.plm_preset, vocab_size=self.tokenizer.vocab_size,
-                         remat=a.remat)
         dtype = self.compute_dtype
+        gelu_approx = getattr(a, "gelu_approx", None)
+        if gelu_approx is None:
+            gelu_approx = dtype == jnp.bfloat16
+        plm = plm_config(a.plm_preset, vocab_size=self.tokenizer.vocab_size,
+                         remat=a.remat, gelu_approx=gelu_approx,
+                         attn_fp32=getattr(a, "attn_fp32", True),
+                         fused_attention=self._use_fused())
         use_fused = self._use_fused()
         if self.model_name in ("miner", "pretrain"):
             encoder = NewsEncoder(
@@ -206,7 +227,12 @@ class Trainer:
 
             cfg = plm_config(a.plm_preset, vocab_size=self.tokenizer.vocab_size)
             cfg = dc.replace(cfg, type_vocab_size=max(2, cfg.type_vocab_size))
-            return UNBert(cfg=cfg, num_news_layers=min(2, cfg.num_layers),
+            # the news-level encoder is a full-depth BertEncoder in the
+            # reference (model_unbert.py:70); overridable since the news
+            # sequence is only ~21 positions
+            n_news = getattr(a, "unbert_news_layers", None) or cfg.num_layers
+            return UNBert(cfg=cfg, num_news_layers=n_news,
+                          news_mode=getattr(a, "unbert_news_mode", "nseg"),
                           dtype=dtype), "unbert"
         raise ValueError(f"unknown model_name {self.args.model_name!r}")
 
@@ -389,6 +415,11 @@ class Trainer:
                 step=payload["step"], rng=payload["rng"],
             )
             log.info("resumed from %s at step %d", a.resume_from, int(state.step))
+        # epochs already completed are skipped exactly: the per-epoch sampler
+        # stream is a pure function of (seed, epoch), so restarting at
+        # start_epoch reproduces the data order the interrupted run would
+        # have seen.
+        start_epoch = min(int(state.step) // steps_per_epoch, a.num_train_epochs)
         train_step = self._make_train_step(model, kind, table)
         eval_step = self._make_eval_step(model, kind, eval_table)
         cached_ctx = (
@@ -398,9 +429,9 @@ class Trainer:
         )
 
         best_loss, best_auc = float("inf"), -float("inf")
-        global_step = 0
+        global_step = start_epoch * steps_per_epoch
         ex_counter, t_last = 0, time.time()
-        for epoch in range(a.num_train_epochs):
+        for epoch in range(start_epoch, a.num_train_epochs):
             t_epoch = time.time()
             block = sampler.sample_epoch(epoch)
             epoch_losses = []

@@ -201,3 +201,28 @@ def test_eval_standalone(fixture_dir, tmp_path):
     assert "auc" in scores and 0 <= scores["auc"] <= 1
     ed = glob.glob(os.path.join(str(tmp_path), "eval", "*"))[0]
     assert os.path.exists(os.path.join(ed, "preds.pkl"))
+
+
+def test_true_resume(fixture_dir, tmp_path):
+    """--resume_from restores params+opt+step and skips completed epochs —
+    the reference saved optimizer state but never restored it
+    (base_trainer.py:223-235)."""
+    args = _train_args(fixture_dir, str(tmp_path / "a"))
+    args.num_train_epochs = 2
+    state_a = Trainer(args).train()
+    steps_2ep = int(state_a.step)
+    rd = glob.glob(os.path.join(str(tmp_path / "a"), "train", "*"))[0]
+
+    args_r = _train_args(fixture_dir, str(tmp_path / "b"))
+    args_r.num_train_epochs = 4
+    args_r.resume_from = os.path.join(rd, "ckpt", "finalModel")
+    state_b = Trainer(args_r).train()
+    # resumed at epoch 2, ran epochs 2..3 -> exactly twice the steps
+    assert int(state_b.step) == 2 * steps_2ep
+
+    # resuming a fully-finished run performs zero additional steps
+    args_done = _train_args(fixture_dir, str(tmp_path / "c"))
+    args_done.num_train_epochs = 2
+    args_done.resume_from = os.path.join(rd, "ckpt", "finalModel")
+    state_c = Trainer(args_done).train()
+    assert int(state_c.step) == steps_2ep

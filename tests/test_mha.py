@@ -1,0 +1,97 @@
+"""Fused multi-head attention kernel (ops/mha.py) equivalence tests.
+
+Run in Pallas interpret mode on the CPU test platform; the same code path is
+exercised compiled on TPU by bench.py / the trainer."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+# pltpu.prng_* are not implemented in Pallas interpret mode; dropout tests
+# run compiled on the real TPU via tools/validate_mha_tpu.py
+requires_tpu_prng = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="pallas PRNG unsupported in interpret mode",
+)
+
+from miner_tpu.ops.mha import fused_mha, mha_reference
+
+# interpret on the CPU test platform; compiled on real TPU
+INTERP = jax.default_backend() == "cpu"
+
+N, L, H, Dh = 3, 128, 4, 32
+D = H * Dh
+
+
+@pytest.fixture
+def inputs(rng):
+    qkv = jnp.asarray(rng.normal(size=(N, L, 3 * D)).astype(np.float32)) * 0.3
+    mask = np.ones((N, L), np.int32)
+    mask[1, 100:] = 0  # padded tail on one row
+    return qkv, jnp.asarray(mask)
+
+
+def test_fused_matches_reference_no_dropout(inputs):
+    qkv, mask = inputs
+    seed = jnp.zeros((1,), jnp.int32)
+    out = fused_mha(qkv, mask, seed, H, 0.0, INTERP)
+    ref = mha_reference(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gradients_match_reference(inputs):
+    qkv, mask = inputs
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def f_fused(qkv):
+        return jnp.sum(fused_mha(qkv, mask, seed, H, 0.0, INTERP) ** 2)
+
+    def f_ref(qkv):
+        return jnp.sum(mha_reference(qkv, mask, H) ** 2)
+
+    g_fused = jax.grad(f_fused)(qkv)
+    g_ref = jax.grad(f_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@requires_tpu_prng
+def test_dropout_deterministic_per_seed(inputs):
+    qkv, mask = inputs
+    s1 = jnp.asarray([7], jnp.int32)
+    s2 = jnp.asarray([8], jnp.int32)
+    a = fused_mha(qkv, mask, s1, H, 0.5, INTERP)
+    b = fused_mha(qkv, mask, s1, H, 0.5, INTERP)
+    c = fused_mha(qkv, mask, s2, H, 0.5, INTERP)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+
+
+@requires_tpu_prng
+def test_dropout_mean_preserving(inputs):
+    """Inverted dropout: E[out] == reference out; with K=0.3 the row sums of
+    the dropped probability matrix should be ~1 on average."""
+    qkv, mask = inputs
+    rate = 0.3
+    outs = []
+    for s in range(8):
+        seed = jnp.asarray([s], jnp.int32)
+        outs.append(np.asarray(fused_mha(qkv, mask, seed, H, rate, INTERP),
+                               np.float64))
+    mean = np.stack(outs).mean(0)
+    ref = np.asarray(mha_reference(qkv, mask, H), np.float64)
+    # loose tolerance: 8 samples of a Bernoulli average
+    assert np.abs(mean - ref).mean() < 0.05 * (np.abs(ref).mean() + 1)
+
+
+def test_masked_rows_ignored(inputs):
+    """Padded key positions must not influence valid queries."""
+    qkv, mask = inputs
+    seed = jnp.zeros((1,), jnp.int32)
+    out1 = fused_mha(qkv, mask, seed, H, 0.0, INTERP)
+    qkv2 = qkv.at[1, 100:, :].set(123.0)  # perturb masked tail of row 1
+    out2 = fused_mha(qkv2, mask, seed, H, 0.0, INTERP)
+    np.testing.assert_allclose(np.asarray(out1[1, :100]),
+                               np.asarray(out2[1, :100]), rtol=1e-5, atol=1e-5)

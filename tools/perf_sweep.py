@@ -16,7 +16,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 
-def run_one(B, remat, attn_fp32, use_fused, steps=8):
+def run_one(B, remat, attn_fp32, use_fused, steps=8, gelu_approx=False):
     from __graft_entry__ import _build_miner, _synthetic_batch
     from miner_tpu.config import plm_config
     from miner_tpu.models import Miner, NewsEncoder
@@ -28,8 +28,9 @@ def run_one(B, remat, attn_fp32, use_fused, steps=8):
     vocab, n_cat = 30522, 32
     rng = np.random.default_rng(0)
 
-    plm = plm_config("roberta_base", vocab_size=vocab, remat=remat)
-    plm = type(plm)(**{**plm.__dict__, "attn_fp32": attn_fp32})
+    plm = plm_config("roberta_base", vocab_size=vocab, remat=remat,
+                     attn_fp32=attn_fp32, gelu_approx=gelu_approx,
+                     fused_attention=use_fused)
     encoder = NewsEncoder(
         plm_cfg=plm, apply_reduce_dim=True, word_embed_dim=256,
         use_sapo=True, combine_type="linear", dropout=0.2, dtype=jnp.bfloat16,
@@ -76,30 +77,30 @@ def run_one(B, remat, attn_fp32, use_fused, steps=8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=str, default=None,
-                    help="semicolon list: B,remat,attn_fp32,fused (1/0)")
+                    help="semicolon list: B,remat,attn_fp32,fused[,gelu] (1/0)")
+    ap.add_argument("--rbg", action="store_true",
+                    help="use the TPU hardware rbg PRNG for dropout masks")
     args = ap.parse_args()
 
-    if args.configs:
-        cfgs = []
-        for c in args.configs.split(";"):
-            b, r, a, f = c.split(",")
-            cfgs.append((int(b), bool(int(r)), bool(int(a)), bool(int(f))))
-    else:
-        cfgs = [
-            (16, True, True, True),    # current bench config
-            (16, True, False, True),   # bf16 softmax
-            (32, True, False, True),   # bigger batch
-            (8, False, False, True),   # no remat, smaller batch
-        ]
-    for (B, remat, attn_fp32, fused) in cfgs:
+    if args.rbg:
+        jax.config.update("jax_default_prng_impl", "rbg")
+
+    cfgs = []
+    for c in (args.configs or "16,1,1,1").split(";"):
+        parts = [int(x) for x in c.split(",")]
+        b, r, a, f = parts[:4]
+        g = parts[4] if len(parts) > 4 else 0
+        cfgs.append((b, bool(r), bool(a), bool(f), bool(g)))
+    for (B, remat, attn_fp32, fused, gelu) in cfgs:
         try:
-            ms, eps = run_one(B, remat, attn_fp32, fused)
+            ms, eps = run_one(B, remat, attn_fp32, fused, gelu_approx=gelu)
             print(f"B={B:3d} remat={int(remat)} attn_fp32={int(attn_fp32)} "
-                  f"fused={int(fused)}  step={ms:8.1f}ms  {eps:7.2f} ex/s", flush=True)
+                  f"fused={int(fused)} gelu~={int(gelu)} rbg={int(args.rbg)}  "
+                  f"step={ms:8.1f}ms  {eps:7.2f} ex/s", flush=True)
         except Exception as e:  # OOM etc.
             print(f"B={B:3d} remat={int(remat)} attn_fp32={int(attn_fp32)} "
-                  f"fused={int(fused)}  FAILED: {type(e).__name__}: {str(e)[:120]}",
-                  flush=True)
+                  f"fused={int(fused)} gelu~={int(gelu)}  FAILED: "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

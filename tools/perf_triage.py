@@ -56,7 +56,8 @@ def main():
                 rngs={"dropout": jax.random.PRNGKey(2)})
             return losses.miner_loss(interests, logits, label)
         loss, grads = jax.value_and_grad(loss_fn)(p)
-        return loss
+        gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree_util.tree_leaves(grads))
+        return loss, gsum
 
     @jax.jit
     def fwd_bwd_nodrop(p, batch, label):
@@ -65,7 +66,8 @@ def main():
                 {"params": p}, batch, deterministic=True)
             return losses.miner_loss(interests, logits, label)
         loss, grads = jax.value_and_grad(loss_fn)(p)
-        return loss
+        gsum = sum(jnp.sum(g.astype(jnp.float32)) for g in jax.tree_util.tree_leaves(grads))
+        return loss, gsum
 
     timed(fwd_eval, params, batch, tag="fwd eval (no dropout)")
     timed(fwd_train, params, batch, tag="fwd train (dropout)")
@@ -74,4 +76,10 @@ def main():
 
 
 if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rbg", action="store_true")
+    a = ap.parse_args()
+    if a.rbg:
+        jax.config.update("jax_default_prng_impl", "rbg")
     main()
