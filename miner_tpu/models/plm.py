@@ -113,9 +113,12 @@ class SelfAttention(nn.Module):
             3 * D, dtype=self.dtype, kernel_init=dense_init(cfg), name="qkv"
         )(x)
         if cfg.fused_attention:
-            from miner_tpu.ops.mha import fused_mha, mha_available
+            from miner_tpu.ops.common import on_tpu
+            from miner_tpu.ops.mha import fused_mha, mha_packing, mha_padding
 
-            if mha_available(L, self.dtype):
+            pad = mha_padding(L) if on_tpu() else 0
+            pack = mha_packing(B, L) if on_tpu() else 0
+            if pack or pad:
                 rate = 0.0 if deterministic else cfg.attention_dropout
                 if rate > 0.0:
                     seed = jax.random.randint(
@@ -124,7 +127,22 @@ class SelfAttention(nn.Module):
                 else:
                     seed = jnp.zeros((1,), jnp.int32)
                 mask = (attn_bias[:, 0, 0, :] == 0).astype(jnp.int32)  # (B, L)
-                ctx = fused_mha(qkv, mask, seed, cfg.num_heads, rate)
+                if pad:
+                    # long non-aligned sequences (e.g. UnBERT's 300): zero-pad
+                    # to the next lane multiple; padded keys are masked out
+                    qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+                    mask = jnp.pad(mask, ((0, 0), (0, pad)))
+                elif pack > 1:
+                    # short fields: pack `pack` consecutive sequences into one
+                    # 128-row block; the kernel applies a block-diagonal mask
+                    qkv = qkv.reshape(B // pack, pack * L, 3 * D)
+                    mask = mask.reshape(B // pack, pack * L)
+                ctx = fused_mha(qkv, mask, seed, cfg.num_heads, rate,
+                                False, max(pack, 1))
+                if pad:
+                    ctx = ctx[:, :L]
+                elif pack > 1:
+                    ctx = ctx.reshape(B, L, D)
                 return nn.Dense(
                     D, dtype=self.dtype, kernel_init=dense_init(cfg),
                     name="out",

@@ -58,8 +58,19 @@ def _dropout_threshold(rate: float) -> int:
     return min(int(rate * 4294967296.0), 4294967295)
 
 
+def _band_mask(L: int, seqs: int):
+    """(L, L) bool: True where query and key rows belong to the same packed
+    sub-sequence (block-diagonal band). seqs == 1 -> all True."""
+    if seqs == 1:
+        return None
+    sub = L // seqs
+    qi = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0) // sub
+    kj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1) // sub
+    return qi == kj
+
+
 def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, num_heads: int,
-                head_dim: int, dropout_rate: float):
+                head_dim: int, dropout_rate: float, seqs: int = 1):
     n = pl.program_id(0)
     L = qkv_ref.shape[1]
     D = num_heads * head_dim
@@ -71,6 +82,9 @@ def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, num_heads: int,
 
     block = qkv_ref[0]  # (L, 3D)
     valid = mask_ref[n][None, :] != 0  # (1, L)
+    band = _band_mask(L, seqs)
+    if band is not None:
+        valid = valid & band  # (L, L): block-diagonal x key-validity
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
     for h in range(num_heads):
         q = block[:, h * head_dim:(h + 1) * head_dim]
@@ -93,7 +107,8 @@ def _fwd_kernel(seed_ref, qkv_ref, mask_ref, out_ref, *, num_heads: int,
 
 
 def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *,
-                num_heads: int, head_dim: int, dropout_rate: float):
+                num_heads: int, head_dim: int, dropout_rate: float,
+                seqs: int = 1):
     n = pl.program_id(0)
     L = qkv_ref.shape[1]
     D = num_heads * head_dim
@@ -106,6 +121,9 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *,
     block = qkv_ref[0]
     dout = dout_ref[0]  # (L, D)
     valid = mask_ref[n][None, :] != 0
+    band = _band_mask(L, seqs)
+    if band is not None:
+        valid = valid & band
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
     for h in range(num_heads):
         q = block[:, h * head_dim:(h + 1) * head_dim]
@@ -151,12 +169,12 @@ def _bwd_kernel(seed_ref, qkv_ref, mask_ref, dout_ref, dqkv_ref, *,
             dv.astype(dqkv_ref.dtype))
 
 
-def _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret=False):
+def _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret=False, seqs=1):
     N, L, D3 = qkv.shape
     D = D3 // 3
     kern = functools.partial(
         _fwd_kernel, num_heads=num_heads, head_dim=D // num_heads,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, seqs=seqs,
     )
     return pl.pallas_call(
         kern,
@@ -174,12 +192,12 @@ def _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret=False):
     )(seed, qkv, mask)
 
 
-def _call_bwd(qkv, mask, seed, dout, num_heads, dropout_rate, interpret=False):
+def _call_bwd(qkv, mask, seed, dout, num_heads, dropout_rate, interpret=False, seqs=1):
     N, L, D3 = qkv.shape
     D = D3 // 3
     kern = functools.partial(
         _bwd_kernel, num_heads=num_heads, head_dim=D // num_heads,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, seqs=seqs,
     )
     return pl.pallas_call(
         kern,
@@ -199,23 +217,26 @@ def _call_bwd(qkv, mask, seed, dout, num_heads, dropout_rate, interpret=False):
     )(seed, qkv, mask, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def fused_mha(qkv, mask, seed, num_heads: int, dropout_rate: float = 0.0,
-              interpret: bool = False):
+              interpret: bool = False, seqs: int = 1):
     """Fused attention. qkv (N, L, 3D), mask (N, L) int32, seed (1,) int32
-    (ignored when dropout_rate == 0). Returns context (N, L, D)."""
-    return _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret)
+    (ignored when dropout_rate == 0). ``seqs`` > 1 treats each row as that
+    many packed independent sub-sequences of length L/seqs (block-diagonal
+    attention) — used to run short fields (title L=32) through the same
+    lane-aligned kernel. Returns context (N, L, D)."""
+    return _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret, seqs)
 
 
-def _fused_mha_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret):
-    out = _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret)
+def _fused_mha_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret, seqs):
+    out = _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret, seqs)
     return out, (qkv, mask, seed)
 
 
-def _fused_mha_bwd(num_heads, dropout_rate, interpret, res, g):
+def _fused_mha_bwd(num_heads, dropout_rate, interpret, seqs, res, g):
     qkv, mask, seed = res
     dqkv = _call_bwd(qkv, mask, seed, g.astype(qkv.dtype), num_heads,
-                     dropout_rate, interpret)
+                     dropout_rate, interpret, seqs)
     return dqkv, None, None
 
 
@@ -225,3 +246,23 @@ fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 def mha_available(L: int, dtype) -> bool:
     """Kernel applicability: TPU backend, lane-aligned sequence length."""
     return on_tpu() and L % 128 == 0
+
+
+def mha_packing(N: int, L: int) -> int:
+    """How many length-L sequences to pack per 128-row kernel block
+    (0 = pack/pad not applicable; L > 128 non-aligned uses padding, see
+    mha_padding)."""
+    if L % 128 == 0:
+        return 1
+    if L < 128 and 128 % L == 0 and N % (128 // L) == 0:
+        return 128 // L
+    return 0
+
+
+def mha_padding(L: int) -> int:
+    """Rows of zero-padding to make a long sequence lane-aligned (e.g. the
+    UnBERT packed sequence, L=300 -> pad 84 to 384). Padded key positions are
+    masked out; padded query rows produce garbage that is sliced away."""
+    if L > 128 and L % 128 != 0:
+        return 128 - (L % 128)
+    return 0

@@ -95,3 +95,60 @@ def test_masked_rows_ignored(inputs):
     out2 = fused_mha(qkv2, mask, seed, H, 0.0, INTERP)
     np.testing.assert_allclose(np.asarray(out1[1, :100]),
                                np.asarray(out2[1, :100]), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_short_sequences_match_reference(rng):
+    """seqs > 1 packs short sequences into a 128-row block with a
+    block-diagonal mask — must equal per-sequence attention."""
+    from miner_tpu.ops.mha import mha_packing
+
+    B, Ls = 8, 32
+    pack = mha_packing(B, Ls)
+    assert pack == 4
+    qkv = jnp.asarray(rng.normal(size=(B, Ls, 3 * D)).astype(np.float32)) * 0.3
+    mask = np.ones((B, Ls), np.int32)
+    mask[2, 20:] = 0
+    mask = jnp.asarray(mask)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    packed = fused_mha(
+        qkv.reshape(B // pack, pack * Ls, 3 * D),
+        mask.reshape(B // pack, pack * Ls),
+        seed, H, 0.0, INTERP, pack,
+    ).reshape(B, Ls, D)
+    ref = mha_reference(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients flow through the packed path identically
+    g_p = jax.grad(lambda q: jnp.sum(fused_mha(
+        q.reshape(B // pack, pack * Ls, 3 * D),
+        mask.reshape(B // pack, pack * Ls), seed, H, 0.0, INTERP, pack) ** 2)
+    )(qkv)
+    g_r = jax.grad(lambda q: jnp.sum(mha_reference(q, mask, H) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_padded_long_sequence_matches_reference(rng):
+    """Non-aligned long sequences are zero-padded to a lane multiple (UnBERT
+    L=300 -> 384): padded keys masked out, padded query rows sliced away."""
+    from miner_tpu.ops.mha import mha_padding
+
+    B, Lu = 2, 300
+    pad = mha_padding(Lu)
+    assert pad == 84
+    qkv = jnp.asarray(rng.normal(size=(B, Lu, 3 * D)).astype(np.float32)) * 0.3
+    mask = np.ones((B, Lu), np.int32)
+    mask[0, 250:] = 0
+    mask = jnp.asarray(mask)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    out = fused_mha(
+        jnp.pad(qkv, ((0, 0), (0, pad), (0, 0))),
+        jnp.pad(mask, ((0, 0), (0, pad))),
+        seed, H, 0.0, INTERP, 1,
+    )[:, :Lu]
+    ref = mha_reference(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
