@@ -242,5 +242,6 @@ def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = Fals
     if attn_fp32 is not None:
         cfg = dc.replace(cfg, attn_fp32=attn_fp32)
     if fused_attention is not None:
-        cfg = dc.replace(cfg, fused_attention=fused_attention)
+        cfg = dc.replace(cfg, fused_attention=fused_attention,
+                         fused_ln=fused_attention)
     return cfg

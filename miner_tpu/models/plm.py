@@ -59,6 +59,9 @@ class PLMConfig:
     # PV in one VMEM-resident kernel with hardware-PRNG dropout; applies to
     # lane-aligned sequence lengths (L % 128 == 0) on TPU.
     fused_attention: bool = False
+    # fused Pallas dropout+residual+LayerNorm (ops/add_ln.py); set alongside
+    # fused_attention by plm_config.
+    fused_ln: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -168,11 +171,61 @@ class SelfAttention(nn.Module):
         return out
 
 
+class _FusedAddLN(nn.Module):
+    """``LN(x + dropout(h))`` via the fused Pallas kernel (ops/add_ln.py).
+
+    Parameter layout ({scale, bias}) matches ``nn.LayerNorm`` so checkpoints
+    are interchangeable with the unfused path.
+    """
+
+    features: int
+    eps: float
+    rate: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h, deterministic: bool):
+        from miner_tpu.ops.add_ln import fused_dropout_add_ln
+
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        rate = 0.0 if deterministic else self.rate
+        if rate > 0.0:
+            seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                      2**31 - 1, dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+        shape = x.shape
+        y = fused_dropout_add_ln(
+            x.reshape(-1, self.features), h.reshape(-1, self.features),
+            scale, bias, seed, rate, self.eps,
+        )
+        return y.reshape(shape).astype(self.dtype)
+
+
 class TransformerLayer(nn.Module):
     """Post-LN transformer block (BERT layout: attn -> add&LN -> FFN -> add&LN)."""
 
     cfg: PLMConfig
     dtype: Dtype = jnp.float32
+
+    def _add_ln(self, name: str):
+        cfg = self.cfg
+        from miner_tpu.ops.common import on_tpu
+
+        if cfg.fused_ln and on_tpu():
+            fused = _FusedAddLN(cfg.hidden_size, cfg.layer_norm_eps,
+                                cfg.hidden_dropout, dtype=self.dtype, name=name)
+            return lambda x, h, det: fused(x, h, det)
+        ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                          name=name)
+        drop = nn.Dropout(rate=cfg.hidden_dropout)
+
+        def apply(x, h, det):
+            h2 = drop(h, deterministic=det)
+            return ln(x + h2).astype(self.dtype)
+
+        return apply
 
     @nn.compact
     def __call__(self, x, attn_bias, deterministic: bool):
@@ -180,12 +233,7 @@ class TransformerLayer(nn.Module):
         attn_out = SelfAttention(cfg, dtype=self.dtype, name="attention")(
             x, attn_bias, deterministic
         )
-        attn_out = nn.Dropout(rate=cfg.hidden_dropout)(
-            attn_out, deterministic=deterministic
-        )
-        x = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attention_ln"
-        )(x + attn_out).astype(self.dtype)
+        x = self._add_ln("attention_ln")(x, attn_out, deterministic)
 
         h = nn.Dense(
             cfg.intermediate_size,
@@ -197,10 +245,7 @@ class TransformerLayer(nn.Module):
         h = nn.Dense(
             cfg.hidden_size, dtype=self.dtype, kernel_init=dense_init(cfg), name="ffn_out"
         )(h)
-        h = nn.Dropout(rate=cfg.hidden_dropout)(h, deterministic=deterministic)
-        x = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="ffn_ln"
-        )(x + h).astype(self.dtype)
+        x = self._add_ln("ffn_ln")(x, h, deterministic)
         return x
 
 

@@ -110,3 +110,59 @@ def test_synth_cmd(tmp_path, capsys):
     log = BehaviorsLog.from_tsv(str(out / "behaviors.tsv"), store,
                                 user2id={"unk": 0}, max_his_click=4)
     assert log.num_eval_impressions == 4
+
+
+def test_prepare_mind(tmp_path):
+    """prepare_mind builds train/valid splits + id maps from raw MIND files
+    (helper.ipynb cells 2-22 parity) that parse through the real data layer."""
+    import runpy
+
+    raw_news = tmp_path / "news_raw.tsv"
+    # raw MIND order: id, category, subcategory, title, abstract
+    raw_news.write_text("".join(
+        f"N{i}\tsports\tsoccer\ttitle words {i}\tabstract text {i}\n"
+        for i in range(8)))
+    raw_beh = tmp_path / "behaviors_raw.tsv"
+    rows = []
+    for i in range(20):
+        hist = " ".join(f"N{j}" for j in range((i % 3) + 1))
+        rows.append(f"{i}\tU{i % 5}\t11/11/2019 9:05:58 AM\t{hist}\tN5-1 N6-0")
+    raw_beh.write_text("\n".join(rows) + "\n")
+
+    out = tmp_path / "data"
+    argv = ["prepare_mind", "--raw_behaviors", str(raw_beh), "--raw_news",
+            str(raw_news), "--out_dir", str(out), "--valid_impressions", "2",
+            "--min_history", "1"]
+    import sys as _sys
+    old = _sys.argv
+    _sys.argv = argv
+    try:
+        runpy.run_path(os.path.join(TOOLS, "prepare_mind.py"),
+                       run_name="__main__")
+    finally:
+        _sys.argv = old
+
+    import json as _json
+    u2i = _json.loads((out / "user2id.json").read_text())
+    c2i = _json.loads((out / "category2id.json").read_text())
+    assert u2i["unk"] == 0 and len(u2i) == 6  # 5 users + unk
+    assert c2i["pad"] == 0 and c2i["unk"] == 1 and "sports" in c2i
+
+    tr = (out / "train" / "behaviors.tsv").read_text().strip().splitlines()
+    va = (out / "valid" / "behaviors.tsv").read_text().strip().splitlines()
+    assert len(tr) + len(va) == 20 and len(va) == 2
+
+    # converted news format: id, title, category, sapo
+    first = (out / "train" / "news.tsv").read_text().splitlines()[0].split("\t")
+    assert first[0] == "N0" and first[2] == "sports"
+
+    from miner_tpu.data.behaviors import BehaviorsLog
+    from miner_tpu.data.news_store import NewsStore
+    from miner_tpu.data.tokenization import HashTokenizer
+
+    store = NewsStore.from_tsv(str(out / "train" / "news.tsv"),
+                               HashTokenizer(vocab_size=512), c2i,
+                               max_title_length=8, max_sapo_length=8)
+    log = BehaviorsLog.from_tsv(str(out / "train" / "behaviors.tsv"), store,
+                                user2id=u2i, max_his_click=4)
+    assert log.num_eval_impressions == len(tr)
