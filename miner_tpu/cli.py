@@ -29,6 +29,8 @@ def main(argv=None):
         Trainer(args).train()
     elif args.mode in ("eval", "eval_fastformer"):
         Trainer(args).eval()
+    elif args.mode == "recommend":
+        Trainer(args).recommend()
     return 0
 
 

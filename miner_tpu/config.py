@@ -46,6 +46,15 @@ def make_parser() -> argparse.ArgumentParser:
         p = sub.add_parser(name, fromfile_prefix_chars="@", allow_abbrev=False)
         p.convert_arg_line_to_args = convert_arg_line_to_args
         add_eval_arguments(p)
+    p = sub.add_parser("recommend", fromfile_prefix_chars="@",
+                       allow_abbrev=False)
+    p.convert_arg_line_to_args = convert_arg_line_to_args
+    add_eval_arguments(p)
+    p.add_argument("--user_history", nargs="+", required=True,
+                   help="clicked news ids, oldest first")
+    p.add_argument("--candidates", nargs="*", default=None,
+                   help="candidate news ids (default: whole corpus)")
+    p.add_argument("--topk", type=int, default=10)
     return parser
 
 

@@ -667,6 +667,75 @@ class Trainer:
         )
         return scores
 
+    def recommend(self):
+        """Serving-style scoring: rank candidates for a click history.
+
+        Encodes the corpus once into the news-embedding cache, then scores
+        ``--candidates`` (or the whole corpus) against ``--user_history``
+        with the model tail — the production path the cached evaluator uses
+        (zero PLM calls per request). No reference counterpart; the
+        reference's closest workflow is the manual notebook inspection
+        (helper_val.ipynb).
+        """
+        a = self.args
+        store = self._load_store(a.eval_news_path)
+        table = self._make_table(store)
+        model, kind = self.build_model(store)
+        if not self._supports_cached_eval(kind):
+            raise ValueError(f"recommend supports two-tower models, not "
+                             f"{self.model_name!r}")
+
+        def idx_of(nid: str) -> int:
+            if nid not in store.id_to_row:
+                raise KeyError(f"unknown news id {nid!r}")
+            return store.id_to_row[nid]
+
+        his = [idx_of(n) for n in a.user_history]
+        if a.candidates:
+            cand = [idx_of(n) for n in a.candidates]
+            cand_ids = list(a.candidates)
+        else:
+            cand = list(range(1, store.num_news))  # skip the pad row 0
+            row_to_id = {v: k for k, v in store.id_to_row.items()}
+            cand_ids = [row_to_id.get(i, str(i)) for i in cand]
+
+        # init + restore params
+        H = min(len(his), a.his_length)
+        example = {
+            "cand_idx": np.zeros((1, max(len(cand), 1)), np.int32),
+            "his_idx": np.zeros((1, a.his_length), np.int32),
+            "label": np.zeros((1, max(len(cand), 1)), np.float32),
+            "impression_id": np.zeros((1,), np.int32),
+        }
+        example = {k: jnp.asarray(v) for k, v in example.items()}
+        params = self._init_params_for_kind(model, kind, table, example)
+        if a.saved_model_path:
+            ckpt = CheckpointManager(os.path.dirname(a.saved_model_path))
+            payload = ckpt.restore(os.path.basename(a.saved_model_path))
+            params = payload["params"]
+
+        cache = self._build_eval_cache(model, params, table)
+        his_idx = np.zeros((1, a.his_length), np.int32)
+        his_idx[0, -H:] = his[-H:]  # left-pad, recency at the end
+        cand_idx = np.asarray(cand, np.int32)[None, :]
+
+        cand_repr = cache.lookup(jnp.asarray(cand_idx))
+        his_repr = cache.lookup(jnp.asarray(his_idx))
+        cand_cat = cache.lookup_category(jnp.asarray(cand_idx))
+        his_cat = cache.lookup_category(jnp.asarray(his_idx))
+        his_mask = (his_cat != table.category_pad_id).astype(jnp.int32)
+        out = model.apply(
+            {"params": params}, cand_repr, his_repr, cand_cat, his_cat,
+            his_mask, deterministic=True, method=type(model).tail,
+        )
+        logits = out[1] if kind == "miner" else out
+        scores = np.asarray(jax.device_get(logits))[0]
+        order = np.argsort(-scores)[: a.topk]
+        results = [(cand_ids[i], float(scores[i])) for i in order]
+        for nid, sc in results:
+            print(f"{nid}\t{sc:.4f}")
+        return results
+
 
 def _ckpt_payload(state: TrainState):
     return {

@@ -226,3 +226,50 @@ def test_true_resume(fixture_dir, tmp_path):
     args_done.resume_from = os.path.join(rd, "ckpt", "finalModel")
     state_c = Trainer(args_done).train()
     assert int(state_c.step) == steps_2ep
+
+
+def test_recommend_cli(fixture_dir, tmp_path):
+    """Serving path: rank candidates for a click history from a checkpoint
+    via the news-embedding cache."""
+    args_t = _train_args(fixture_dir, str(tmp_path))
+    args_t.num_train_epochs = 1
+    Trainer(args_t).train()
+    rd = glob.glob(os.path.join(str(tmp_path), "train", "*"))[0]
+
+    argv = [
+        "recommend",
+        "--model_name", "Miner",
+        "--pretrained_tokenizer", "hash:1000",
+        "--user2id_path", os.path.join(fixture_dir, "user2id.json"),
+        "--category2id_path", os.path.join(fixture_dir, "category2id.json"),
+        "--eval_news_path", os.path.join(fixture_dir, "news.tsv"),
+        "--saved_model_path", os.path.join(rd, "ckpt", "finalModel"),
+        "--max_title_length", "16",
+        "--max_sapo_length", "24",
+        "--his_length", "5",
+        "--plm_preset", "tiny",
+        "--apply_reduce_dim", "--use_sapo", "--use_category_bias",
+        "--word_embed_dim", "32",
+        "--category_embed_dim", "8",
+        "--num_context_codes", "4",
+        "--context_code_dim", "16",
+        "--compute_dtype", "float32",
+        "--metrics", "auc",
+        "--user_history", "N1", "N3",
+        "--topk", "3",
+    ]
+    args_r = make_parser().parse_args(argv)
+    results = Trainer(args_r).recommend()
+    assert len(results) == 3
+    ids = [nid for nid, _ in results]
+    assert len(set(ids)) == 3 and all(i.startswith("N") for i in ids)
+    scores = [s for _, s in results]
+    assert scores == sorted(scores, reverse=True)
+    assert np.isfinite(scores).all()
+
+    # explicit candidate slate restricts the pool
+    args_r2 = make_parser().parse_args(
+        argv + ["--candidates", "N7", "N8"])
+    args_r2.topk = 2
+    results2 = Trainer(args_r2).recommend()
+    assert {nid for nid, _ in results2} == {"N7", "N8"}
