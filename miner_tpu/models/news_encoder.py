@@ -32,26 +32,41 @@ Dtype = Any
 
 
 class _BiLSTMCombine(nn.Module):
-    """Bidirectional single-layer LSTM over the [title, sapo] pair.
+    """Bidirectional (multi-layer) LSTM over the [title, sapo] pair.
 
     The reference's ``lstm`` combine feeds a 2-D tensor into ``nn.LSTM``
     (reference: src/model/news_encoder.py:52-56, 100-104), which torch then
     interprets as an unbatched sequence — effectively broken.  We implement
     the evidently intended behavior: treat (title_repr, sapo_repr) as a
     length-2 sequence and run a BiLSTM of hidden size D//2 over it, returning
-    the concatenated final step outputs (dim (D//2)*2).
+    the concatenated final step outputs (dim (D//2)*2).  ``num_layers`` /
+    ``dropout`` honor the reference's --lstm_num_layers / --lstm_dropout
+    flags (torch semantics: inter-layer dropout, not after the last layer).
     """
 
     hidden_size: int
+    num_layers: int = 1
+    dropout: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, title_repr: jax.Array, sapo_repr: jax.Array) -> jax.Array:
+    def __call__(self, title_repr: jax.Array, sapo_repr: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
         seq = jnp.stack([title_repr, sapo_repr], axis=1)  # (B, 2, D)
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), name="fwd")
-        bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), reverse=True, name="bwd")
-        out_f = fwd(seq)[:, -1, :]
-        out_b = bwd(seq)[:, 0, :]
+        out_f = out_b = None
+        for i in range(self.num_layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+                         name=f"fwd_{i}" if i else "fwd")
+            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), reverse=True,
+                         name=f"bwd_{i}" if i else "bwd")
+            f_seq = fwd(seq)
+            b_seq = bwd(seq)
+            out_f, out_b = f_seq[:, -1, :], b_seq[:, 0, :]
+            if i + 1 < self.num_layers:
+                seq = jnp.concatenate([f_seq, b_seq], axis=-1)
+                if self.dropout > 0.0:
+                    seq = nn.Dropout(rate=self.dropout)(
+                        seq, deterministic=deterministic)
         return jnp.concatenate([out_f, out_b], axis=-1)
 
 
@@ -64,6 +79,8 @@ class NewsEncoder(nn.Module):
     use_sapo: bool = True
     combine_type: str = "linear"  # linear | lstm | pre-concat
     dropout: float = 0.2
+    lstm_num_layers: int = 1
+    lstm_dropout: float = 0.0
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -85,7 +102,9 @@ class NewsEncoder(nn.Module):
             )
         elif self.use_sapo and self.combine_type == "lstm":
             self.lstm_combine = _BiLSTMCombine(
-                self.embed_dim // 2, dtype=self.dtype, name="lstm_combine"
+                self.embed_dim // 2, num_layers=self.lstm_num_layers,
+                dropout=self.lstm_dropout, dtype=self.dtype,
+                name="lstm_combine",
             )
 
     @property
@@ -120,7 +139,8 @@ class NewsEncoder(nn.Module):
                 jnp.concatenate([title_repr, sapo_repr], axis=-1)
             )
         if self.combine_type == "lstm":
-            return self.lstm_combine(title_repr, sapo_repr)
+            return self.lstm_combine(title_repr, sapo_repr,
+                                     deterministic=deterministic)
         raise ValueError(f"unknown combine_type {self.combine_type!r}")
 
 

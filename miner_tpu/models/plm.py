@@ -142,6 +142,9 @@ class SelfAttention(nn.Module):
                     mask = mask.reshape(B // pack, pack * L)
                 ctx = fused_mha(qkv, mask, seed, cfg.num_heads, rate,
                                 False, max(pack, 1))
+                from jax.ad_checkpoint import checkpoint_name
+
+                ctx = checkpoint_name(ctx, "attn_ctx")
                 if pad:
                     ctx = ctx[:, :L]
                 elif pack > 1:
@@ -316,7 +319,15 @@ class TransformerPLM(nn.Module):
         if cfg.remat:
             # flax passes (module, x, attn_bias, deterministic): the
             # deterministic flag at position 3 must stay static.
-            layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
+            # With the fused attention kernel, saving its context output
+            # (named "attn_ctx", ~2.6GB at bench geometry) skips re-running
+            # the attention forward kernel during the remat recompute.
+            policy = None
+            if cfg.fused_attention:
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_ctx")
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(3,),
+                                 policy=policy)
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
                 x, attn_bias, deterministic

@@ -168,6 +168,8 @@ class Trainer:
                 use_sapo=a.use_sapo,
                 combine_type=a.combine_type,
                 dropout=a.dropout,
+                lstm_num_layers=getattr(a, "lstm_num_layers", 1),
+                lstm_dropout=getattr(a, "lstm_dropout", 0.0),
                 dtype=dtype,
             )
             if self.model_name == "pretrain":
@@ -199,6 +201,8 @@ class Trainer:
                 use_sapo=a.use_sapo,
                 combine_type=a.combine_type,
                 dropout=a.dropout,
+                lstm_num_layers=getattr(a, "lstm_num_layers", 1),
+                lstm_dropout=getattr(a, "lstm_dropout", 0.0),
                 dtype=dtype,
             )
             cfg = FastformerConfig(

@@ -273,3 +273,19 @@ def test_recommend_cli(fixture_dir, tmp_path):
     args_r2.topk = 2
     results2 = Trainer(args_r2).recommend()
     assert {nid for nid, _ in results2} == {"N7", "N8"}
+
+
+def test_fast_eval_mode(fixture_dir, tmp_path):
+    """--fast_eval evaluates on train-format (1+npratio) rows with the
+    FastEvaluator (reference: trainer.py:65-68, evaluation.py:87-110)."""
+    args = _train_args(fixture_dir, str(tmp_path), extra=("--fast_eval",))
+    args.num_train_epochs = 1
+    trainer = Trainer(args)
+    trainer.train()
+    rd = glob.glob(os.path.join(str(tmp_path), "train", "*"))[0]
+    lines = open(os.path.join(rd, "eval.csv")).read().splitlines()
+    assert len(lines) >= 2
+    header = lines[0].split(",")
+    row = lines[-1].split(",")
+    auc = float(row[header.index("auc")])
+    assert 0.0 <= auc <= 1.0
