@@ -1,10 +1,19 @@
-"""Capture a jax.profiler trace of the Miner train step and print the top
-HLO ops by self time (via tensorboard_plugin_profile's xplane converter)."""
+"""Capture a jax.profiler trace of the Miner train step and print device
+time aggregated by (opcode, output shape).
+
+The tensorboard_plugin_profile converter is incompatible with the installed
+TF/protobuf, so the *.xplane.pb is parsed directly
+(tensorflow.tsl.profiler.protobuf.xplane_pb2) and the "XLA Ops" line of the
+TPU device plane is aggregated.
+
+Usage: python tools/profile_step.py [outdir] [--analyze-only]
+"""
 from __future__ import annotations
 
 import glob
-import json
+import re
 import sys
+from collections import defaultdict
 
 import numpy as np
 import jax
@@ -51,49 +60,51 @@ def build_step(B=16, rbg=True, gelu=True):
     return train_step, state, batch, label
 
 
+def analyze(outdir: str, top: int = 25):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    path = sorted(glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True))[-1]
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        md = {k: v.name for k, v in plane.event_metadata.items()}
+        agg = defaultdict(float)
+        total = 0.0
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = md.get(ev.metadata_id, "?")
+                m = re.match(r"%?([a-zA-Z_\-]+)[\d.]* = \(?([a-z0-9]+\[[^\]]*\])",
+                             name)
+                key = f"{m.group(1)} {m.group(2)}" if m else name[:40]
+                agg[key] += ev.duration_ps
+                total += ev.duration_ps
+        rows = sorted(agg.items(), key=lambda kv: -kv[1])
+        print(f"device {plane.name}: total {total / 1e9:.1f} ms")
+        csum = 0.0
+        for name, ps in rows[:top]:
+            csum += ps
+            print(f"{ps / total * 100:6.2f}% (cum {csum / total * 100:5.1f}%)"
+                  f"  {name[:90]}")
+
+
 def main():
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace"
-    train_step, state, batch, label = build_step()
-    state, loss = train_step(state, batch, label)
-    float(loss)
-    jax.profiler.start_trace(outdir)
-    for _ in range(3):
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    outdir = args[0] if args else "/tmp/jax_trace"
+    if "--analyze-only" not in sys.argv:
+        train_step, state, batch, label = build_step()
         state, loss = train_step(state, batch, label)
-    float(loss)
-    jax.profiler.stop_trace()
-
-    xplanes = glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True)
-    print("xplane files:", xplanes, file=sys.stderr)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-    data, _ = rtd.xspace_to_tool_data(xplanes, "op_profile", {})
-    prof = json.loads(data)
-
-    def walk(node, depth=0, out=None):
-        out.append((node.get("name"),
-                    node.get("metrics", {}).get("time", 0.0),
-                    node.get("metrics", {}).get("flops", 0.0)))
-        for ch in node.get("children", []):
-            walk(ch, depth + 1, out)
-        return out
-
-    by_cat = prof.get("byCategory", prof)
-    rows = []
-    for ch in by_cat.get("children", []):
-        t = ch.get("metrics", {}).get("time", 0.0)
-        rows.append((ch.get("name"), t, len(ch.get("children", []))))
-    rows.sort(key=lambda r: -r[1])
-    print("== top categories (fraction of total time) ==")
-    for name, t, n in rows[:15]:
-        print(f"{t:8.4f}  {name}  ({n} subnodes)")
-    # also dump the deepest two levels for the top categories
-    print("== top ops within top categories ==")
-    for ch in sorted(by_cat.get("children", []),
-                     key=lambda c: -c.get("metrics", {}).get("time", 0))[:6]:
-        for op in sorted(ch.get("children", []),
-                         key=lambda c: -c.get("metrics", {}).get("time", 0))[:4]:
-            m = op.get("metrics", {})
-            print(f"{m.get('time', 0):8.4f}  {ch['name']} / {op.get('name')}")
+        float(loss)
+        jax.profiler.start_trace(outdir)
+        for _ in range(3):
+            state, loss = train_step(state, batch, label)
+        float(loss)
+        jax.profiler.stop_trace()
+    analyze(outdir)
 
 
 if __name__ == "__main__":
