@@ -11,7 +11,7 @@ corpus keeps working.
 from __future__ import annotations
 
 import argparse
-from typing import List, Optional
+from typing import Optional
 
 
 def convert_arg_line_to_args(arg_line: str):

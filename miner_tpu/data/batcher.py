@@ -7,7 +7,7 @@ from the resident news table (see ``miner_tpu.data.device_table``).
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional, Union
+from typing import Dict, Iterator, Union
 
 import numpy as np
 

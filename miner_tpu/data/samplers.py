@@ -28,7 +28,6 @@ news = 0.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional
 
 import numpy as np
 

@@ -21,7 +21,7 @@ Behavioral contract follows the reference's ``MindDataset.pack_bert_features``
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -22,7 +22,7 @@ A fused Pallas kernel for the additive-attention inner loop lives in
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ in the trainer, not here.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict
 
 import jax

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from miner_tpu.ops.common import on_tpu, pick_block
+from miner_tpu.ops.common import on_tpu
 
 MASK_FILL = -10000.0
 

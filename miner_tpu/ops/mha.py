@@ -25,7 +25,6 @@ dominant cost); shorter fields (title L=32) keep the XLA path where the
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

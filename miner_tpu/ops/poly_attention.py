@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from miner_tpu.ops.common import on_tpu, pick_block
+from miner_tpu.ops.common import on_tpu
 
 NEG_INF = -1e9
 
