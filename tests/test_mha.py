@@ -152,3 +152,44 @@ def test_padded_long_sequence_matches_reference(rng):
     ref = mha_reference(qkv, mask, H)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_plm_fused_attention_matches_unfused(rng):
+    """The PLM's fused-attention branch — including the 4-per-block packing
+    glue for short L and zero-padding for non-aligned L — must reproduce the
+    unfused forward (deterministic)."""
+    import dataclasses as dc
+
+    import miner_tpu.ops.mha as mha_mod
+    from miner_tpu.models.plm import PLMConfig, TransformerPLM
+    from miner_tpu.ops import common
+
+    cfg = PLMConfig.tiny()
+
+    for B, L in ((8, 32), (4, 160)):  # pack=4 path; pad 160->256 path
+        ids = jnp.asarray(rng.integers(1, 500, size=(B, L)).astype(np.int32))
+        mask = np.ones((B, L), np.int32)
+        mask[0, L - 5:] = 0
+        mask = jnp.asarray(mask)
+
+        plm_a = TransformerPLM(cfg)
+        params = plm_a.init(jax.random.PRNGKey(0), ids, mask)
+        out_a = plm_a.apply(params, ids, mask)
+
+        orig_on_tpu = common.on_tpu
+        orig_call_fwd = mha_mod._call_fwd
+        common.on_tpu = lambda: True
+        mha_mod._call_fwd = (
+            lambda qkv, m, s, h, r, interp, seqs=1:
+            orig_call_fwd(qkv, m, s, h, r, True, seqs))
+        try:
+            plm_b = TransformerPLM(dc.replace(cfg, fused_attention=True))
+            out_b = plm_b.apply(params, ids, mask)
+        finally:
+            common.on_tpu = orig_on_tpu
+            mha_mod._call_fwd = orig_call_fwd
+        # compare only positions the mask keeps (padded positions may differ)
+        valid = np.asarray(mask, bool)
+        np.testing.assert_allclose(
+            np.asarray(out_a)[valid], np.asarray(out_b)[valid],
+            rtol=2e-4, atol=2e-4, err_msg=f"L={L}")
