@@ -498,11 +498,18 @@ class Trainer:
         else:
             model_batch = table.lookup(example["cand_idx"], example["his_idx"])
             params = model.init(rngs, model_batch)["params"]
-        if self.args.hf_checkpoint:
+        # --pretrained_embedding is the reference's PLM-weights flag
+        # (reference: arguments.py, NewsEncoder.from_pretrained); honor it as
+        # an HF checkpoint when it names a local directory with weights.
+        hf_ckpt = self.args.hf_checkpoint
+        pe = getattr(self.args, "pretrained_embedding", None)
+        if not hf_ckpt and pe and os.path.isdir(pe):
+            hf_ckpt = pe
+        if hf_ckpt:
             from miner_tpu.models import hf_import
 
             params = hf_import.load_into_params(
-                params, self.args.hf_checkpoint,
+                params, hf_ckpt,
                 plm_prefix="plm" if kind == "pretrain" else "news_encoder/plm",
             )
         if (self.model_name == "unisrec"

@@ -204,3 +204,44 @@ def test_load_unisrec_pretrained(tmp_path):
     scores = model.apply({"params": merged}, batch)
     assert scores.shape == (B, C)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_pretrained_embedding_flag_loads_weights(hf_checkpoint, tmp_path):
+    """The reference's --pretrained_embedding flag loads PLM weights when it
+    names a local checkpoint directory (no --hf_checkpoint needed)."""
+    import glob as _glob
+
+    from miner_tpu.training.trainer import Trainer
+    from miner_tpu.config import make_parser
+    from tests.fixture_data import make_fixture
+
+    ckpt_dir, hf_model, hf_cfg = hf_checkpoint
+    fixture = make_fixture(str(tmp_path / "data"))
+    argv = [
+        "train",
+        "--model_name", "Miner",
+        "--pretrained_tokenizer", "hash:500",
+        "--user2id_path", os.path.join(fixture, "user2id.json"),
+        "--category2id_path", os.path.join(fixture, "category2id.json"),
+        "--train_behaviors_path", os.path.join(fixture, "behaviors.tsv"),
+        "--train_news_path", os.path.join(fixture, "news.tsv"),
+        "--eval_behaviors_path", os.path.join(fixture, "behaviors.tsv"),
+        "--eval_news_path", os.path.join(fixture, "news.tsv"),
+        "--max_title_length", "12", "--max_sapo_length", "12",
+        "--his_length", "4", "--plm_preset", "tiny",
+        "--apply_reduce_dim", "--use_sapo", "--use_category_bias",
+        "--word_embed_dim", "16", "--category_embed_dim", "8",
+        "--num_context_codes", "2", "--context_code_dim", "8",
+        "--npratio", "2", "--train_batch_size", "4",
+        "--num_train_epochs", "1", "--compute_dtype", "float32",
+        "--metrics", "auc",
+        "--pretrained_embedding", ckpt_dir,
+        "--train_path", str(tmp_path / "out"),
+    ]
+    # the tiny preset differs from the checkpoint architecture; patching the
+    # preset to the checkpoint's shape is the job of plm_preset — here we
+    # only verify the flag routes into the HF import (shape mismatch raises)
+    args = make_parser().parse_args(argv)
+    trainer = Trainer(args)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        trainer.train()
