@@ -289,3 +289,34 @@ def test_fast_eval_mode(fixture_dir, tmp_path):
     row = lines[-1].split(",")
     auc = float(row[header.index("auc")])
     assert 0.0 <= auc <= 1.0
+
+
+def test_gradient_accumulation(fixture_dir, tmp_path):
+    """optax.MultiSteps accumulation (replacing trainer.py:146-168's manual
+    gate): with accum=K the parameters change only every K micro-steps, and
+    training still learns."""
+    import jax
+
+    args = _train_args(fixture_dir, str(tmp_path),
+                       extra=("--gradient_accumulation_steps", "2"))
+    args.num_train_epochs = 2
+    trainer = Trainer(args)
+    state = trainer.train()
+    assert int(state.step) > 0
+    # MultiSteps keeps the inner optimizer count at steps // K
+    from optax import MultiStepsState
+
+    def find_ms(obj):
+        if isinstance(obj, MultiStepsState):
+            return obj
+        if isinstance(obj, (tuple, list)):
+            for o in obj:
+                r = find_ms(o)
+                if r is not None:
+                    return r
+        return None
+    ms = find_ms(inner)
+    assert ms is not None, "MultiSteps must be active with accum > 1"
+    micro = int(state.step)
+    opt_steps = int(ms.gradient_step)
+    assert opt_steps == micro // 2
