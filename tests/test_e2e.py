@@ -315,7 +315,7 @@ def test_gradient_accumulation(fixture_dir, tmp_path):
                 if r is not None:
                     return r
         return None
-    ms = find_ms(inner)
+    ms = find_ms(state.opt_state)
     assert ms is not None, "MultiSteps must be active with accum > 1"
     micro = int(state.step)
     opt_steps = int(ms.gradient_step)
