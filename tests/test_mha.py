@@ -193,3 +193,35 @@ def test_plm_fused_attention_matches_unfused(rng):
         np.testing.assert_allclose(
             np.asarray(out_a)[valid], np.asarray(out_b)[valid],
             rtol=2e-4, atol=2e-4, err_msg=f"L={L}")
+
+
+def test_fused_mha_under_shard_map(rng):
+    """The fused kernel composes with jax.shard_map over a data-parallel
+    mesh (fwd and custom-vjp bwd) — the building block for enabling Pallas
+    kernels on multi-chip meshes (currently auto-off; see
+    Trainer._use_fused). Per-shard dropout seeds must be decorrelated with
+    jax.lax.axis_index before enabling rate > 0 multi-chip."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    n_dev = min(8, jax.device_count())
+    if n_dev < 2:
+        pytest.skip("needs >= 2 devices")
+    N2 = 2 * n_dev
+    qkv = jnp.asarray(rng.normal(size=(N2, L, 3 * D)).astype(np.float32)) * 0.3
+    mask = jnp.ones((N2, L), jnp.int32)
+    seed = jnp.zeros((1,), jnp.int32)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+
+    f = jax.shard_map(
+        lambda q, m, s: fused_mha(q, m, s, H, 0.0, INTERP),
+        mesh=mesh, in_specs=(P("data"), P("data"), P()),
+        out_specs=P("data"), check_vma=False,
+    )
+    out = jax.jit(f)(qkv, mask, seed)
+    ref = mha_reference(qkv, mask, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)
+    g = jax.jit(jax.grad(lambda q: jnp.sum(f(q, mask, seed) ** 2)))(qkv)
+    g_ref = jax.grad(lambda q: jnp.sum(mha_reference(q, mask, H) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=2e-4,
+                               atol=2e-4)
