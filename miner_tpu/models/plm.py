@@ -118,9 +118,17 @@ class SelfAttention(nn.Module):
         if cfg.fused_attention:
             from miner_tpu.ops.common import on_tpu
             from miner_tpu.ops.mha import fused_mha, mha_packing, mha_padding
+            from miner_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
 
+            mesh = ambient_mesh()
+            ndev = (mesh.shape[DATA_AXIS]
+                    if mesh is not None and DATA_AXIS in mesh.axis_names
+                    else 1)
+            if ndev > 1 and B % ndev != 0:
+                ndev = 1  # unshardable batch: fall through to single-device
+            B_local = B // ndev
             pad = mha_padding(L) if on_tpu() else 0
-            pack = mha_packing(B, L) if on_tpu() else 0
+            pack = mha_packing(B_local, L) if on_tpu() else 0
             if pack or pad:
                 rate = 0.0 if deterministic else cfg.attention_dropout
                 if rate > 0.0:
@@ -130,25 +138,47 @@ class SelfAttention(nn.Module):
                 else:
                     seed = jnp.zeros((1,), jnp.int32)
                 mask = (attn_bias[:, 0, 0, :] == 0).astype(jnp.int32)  # (B, L)
-                if pad:
-                    # long non-aligned sequences (e.g. UnBERT's 300): zero-pad
-                    # to the next lane multiple; padded keys are masked out
-                    qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
-                    mask = jnp.pad(mask, ((0, 0), (0, pad)))
-                elif pack > 1:
-                    # short fields: pack `pack` consecutive sequences into one
-                    # 128-row block; the kernel applies a block-diagonal mask
-                    qkv = qkv.reshape(B // pack, pack * L, 3 * D)
-                    mask = mask.reshape(B // pack, pack * L)
-                ctx = fused_mha(qkv, mask, seed, cfg.num_heads, rate,
-                                False, max(pack, 1))
+
+                def _attend(qkv, mask, seed):
+                    Bl = qkv.shape[0]
+                    if ndev > 1:
+                        # decorrelate the per-shard dropout streams
+                        seed = seed + jax.lax.axis_index(DATA_AXIS).astype(
+                            jnp.int32) * jnp.int32(1000003)
+                    if pad:
+                        # long non-aligned sequences (e.g. UnBERT's 300):
+                        # zero-pad to the next lane multiple; padded keys
+                        # are masked out
+                        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+                        mask_p = jnp.pad(mask, ((0, 0), (0, pad)))
+                    elif pack > 1:
+                        # short fields: pack `pack` consecutive sequences
+                        # into one 128-row block (block-diagonal mask)
+                        qkv = qkv.reshape(Bl // pack, pack * L, 3 * D)
+                        mask_p = mask.reshape(Bl // pack, pack * L)
+                    else:
+                        mask_p = mask
+                    ctx = fused_mha(qkv, mask_p, seed, cfg.num_heads, rate,
+                                    False, max(pack, 1))
+                    if pad:
+                        ctx = ctx[:, :L]
+                    elif pack > 1:
+                        ctx = ctx.reshape(Bl, L, D)
+                    return ctx
+
+                if ndev > 1:
+                    from jax.sharding import PartitionSpec as P
+
+                    ctx = jax.shard_map(
+                        _attend, mesh=mesh,
+                        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+                        out_specs=P(DATA_AXIS), check_vma=False,
+                    )(qkv, mask, seed)
+                else:
+                    ctx = _attend(qkv, mask, seed)
                 from jax.ad_checkpoint import checkpoint_name
 
                 ctx = checkpoint_name(ctx, "attn_ctx")
-                if pad:
-                    ctx = ctx[:, :L]
-                elif pack > 1:
-                    ctx = ctx.reshape(B, L, D)
                 return nn.Dense(
                     D, dtype=self.dtype, kernel_init=dense_init(cfg),
                     name="out",
@@ -189,6 +219,7 @@ class _FusedAddLN(nn.Module):
     @nn.compact
     def __call__(self, x, h, deterministic: bool):
         from miner_tpu.ops.add_ln import fused_dropout_add_ln
+        from miner_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
 
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -199,10 +230,28 @@ class _FusedAddLN(nn.Module):
         else:
             seed = jnp.zeros((1,), jnp.int32)
         shape = x.shape
-        y = fused_dropout_add_ln(
-            x.reshape(-1, self.features), h.reshape(-1, self.features),
-            scale, bias, seed, rate, self.eps,
-        )
+        x2 = x.reshape(-1, self.features)
+        h2 = h.reshape(-1, self.features)
+
+        mesh = ambient_mesh()
+        ndev = (mesh.shape[DATA_AXIS]
+                if mesh is not None and DATA_AXIS in mesh.axis_names else 1)
+        if ndev > 1 and x2.shape[0] % ndev == 0:
+            from jax.sharding import PartitionSpec as P
+
+            def _local(x2, h2, scale, bias, seed):
+                seed = seed + jax.lax.axis_index(DATA_AXIS).astype(
+                    jnp.int32) * jnp.int32(1000003)
+                return fused_dropout_add_ln(x2, h2, scale, bias, seed, rate,
+                                            self.eps)
+
+            y = jax.shard_map(
+                _local, mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P()),
+                out_specs=P(DATA_AXIS), check_vma=False,
+            )(x2, h2, scale, bias, seed)
+        else:
+            y = fused_dropout_add_ln(x2, h2, scale, bias, seed, rate, self.eps)
         return y.reshape(shape).astype(self.dtype)
 
 

@@ -96,6 +96,10 @@ class Trainer:
         self.compute_dtype = _dtype(args.compute_dtype)
         self.n_devices = self.mesh.devices.size
         _configure_prng(getattr(args, "rng_impl", None))
+        if self.n_devices > 1 and self._use_fused():
+            from miner_tpu.parallel.mesh import set_ambient_mesh
+
+            set_ambient_mesh(self.mesh)
 
     # ------------------------------------------------------------------ data
     def _load_store(self, news_path: str, augmentations=None) -> NewsStore:
@@ -141,12 +145,14 @@ class Trainer:
     # ----------------------------------------------------------------- model
     def _use_fused(self) -> bool:
         if self.args.fused_kernels is not None:
+            # explicit opt-in also covers multi-device meshes: the kernels
+            # are wrapped in jax.shard_map over the data axis (see
+            # models/plm.py + parallel.mesh.ambient_mesh)
             return bool(self.args.fused_kernels)
         from miner_tpu.ops.common import on_tpu
 
-        # Fused Pallas kernels run per-shard; multi-device sharding of
-        # pallas_call needs shard_map, which the DP train step doesn't use
-        # yet — auto-enable only single-chip on TPU.
+        # auto: single-chip TPU only (the multi-chip shard_map path is
+        # opt-in until it has run on real multi-chip hardware)
         return on_tpu() and self.n_devices == 1
 
     def build_model(self, store: NewsStore):
