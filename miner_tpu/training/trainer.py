@@ -96,10 +96,11 @@ class Trainer:
         self.compute_dtype = _dtype(args.compute_dtype)
         self.n_devices = self.mesh.devices.size
         _configure_prng(getattr(args, "rng_impl", None))
-        if self.n_devices > 1 and self._use_fused():
-            from miner_tpu.parallel.mesh import set_ambient_mesh
+        from miner_tpu.parallel.mesh import set_ambient_mesh
 
-            set_ambient_mesh(self.mesh)
+        set_ambient_mesh(
+            self.mesh if self.n_devices > 1 and self._use_fused() else None
+        )
 
     # ------------------------------------------------------------------ data
     def _load_store(self, news_path: str, augmentations=None) -> NewsStore:
