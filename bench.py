@@ -29,6 +29,51 @@ import jax.numpy as jnp
 
 GPU_BASELINE_EVAL_CANDIDATES_PER_SEC = 30.0
 
+# bf16 peak TFLOP/s per chip by device kind (MXU), for MFU accounting.
+# Override with MINER_TPU_PEAK_TFLOPS when the kind is not listed.
+PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,  # v5p
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def _peak_tflops() -> float | None:
+    import os
+
+    env = os.environ.get("MINER_TPU_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_BF16_TFLOPS.items():
+        if kind.lower().startswith(name.lower()):
+            return peak
+    return None
+
+
+def miner_train_model_flops(B=16, C=5, H=50, Lt=32, Ls=128, n_layers=12,
+                            D=768, F=3072) -> float:
+    """Analytic *model* FLOPs per MINER train step (fwd + 2x bwd; remat
+    recompute deliberately NOT counted — MFU measures useful math only).
+
+    The PLM towers are >=95% of step FLOPs (SURVEY §3.5): B*(C+H) title
+    sequences of Lt tokens and as many sapo sequences of Ls tokens through a
+    12-layer tower. Per layer per sequence: QKV 6LD^2 + scores 2L^2D +
+    PV 2L^2D + out 2LD^2 + FFN 4LDF. Poly-attention/scoring/embeddings are
+    <1% and left uncounted (slight MFU underestimate, never overestimate).
+    """
+
+    def tower(L):
+        per_layer = 8 * L * D * D + 4 * L * D * F + 4 * L * L * D
+        return n_layers * per_layer
+
+    fwd = B * (C + H) * (tower(Lt) + tower(Ls))
+    return 3.0 * fwd
+
 
 def _sync(x):
     # float() forces a full sync — block_until_ready is unreliable through
@@ -142,16 +187,28 @@ def main():
 
     eval_cps = bench_unbert_eval()
     train_eps = bench_miner_train()
+    B = 16
+    tflops_per_step = miner_train_model_flops(B=B) / 1e12
+    tflops_per_sec = train_eps / B * tflops_per_step
+    peak = _peak_tflops()
+    details = {
+        "miner_train_examples_per_sec_per_chip": round(train_eps, 2),
+        "miner_train_model_tflops_per_step": round(tflops_per_step, 2),
+        "miner_train_tflops_per_sec_per_chip": round(tflops_per_sec, 2),
+        "baseline_source": "UnBERT eval ~0.92 batch/s x 32 on the "
+                           "reference GPU (helper_val.ipynb cell 287)",
+    }
+    if peak is not None:
+        # model FLOPs only (no remat recompute credit)
+        details["mfu"] = round(tflops_per_sec / peak, 4)
+        details["peak_bf16_tflops"] = peak
     print(json.dumps({
         "metric": "unbert_eval_candidates_per_sec_per_chip",
         "value": round(eval_cps, 2),
         "unit": "candidates/s/chip",
         "vs_baseline": round(eval_cps / GPU_BASELINE_EVAL_CANDIDATES_PER_SEC, 3),
-        "details": {
-            "miner_train_examples_per_sec_per_chip": round(train_eps, 2),
-            "baseline_source": "UnBERT eval ~0.92 batch/s x 32 on the "
-                               "reference GPU (helper_val.ipynb cell 287)",
-        },
+        "mfu": details.get("mfu"),
+        "details": details,
     }))
 
 

@@ -17,6 +17,15 @@ def main(argv=None):
         parser.print_help()
         return 1
 
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even where a sitecustomize registers a TPU
+        # plugin and overrides jax_platforms programmatically
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from miner_tpu.parallel.mesh import maybe_initialize_distributed
     from miner_tpu.training.trainer import Trainer
 

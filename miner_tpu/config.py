@@ -222,7 +222,7 @@ def add_eval_arguments(p: argparse.ArgumentParser):
 
 def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = False,
                gelu_approx: Optional[bool] = None, attn_fp32: Optional[bool] = None,
-               fused_attention: Optional[bool] = None):
+               fused_attention: Optional[bool] = None, mesh=None):
     from miner_tpu.models.plm import PLMConfig
     import dataclasses as dc
 
@@ -253,4 +253,8 @@ def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = Fals
     if fused_attention is not None:
         cfg = dc.replace(cfg, fused_attention=fused_attention,
                          fused_ln=fused_attention)
+    if mesh is not None and fused_attention:
+        # multi-device fused kernels: the PLM wraps its Pallas kernels in
+        # jax.shard_map over this mesh's data axis (models/plm.py)
+        cfg = dc.replace(cfg, mesh=mesh)
     return cfg

@@ -41,9 +41,13 @@ class Batcher:
     def batches(
         self, block: Union[SampleBlock, Dict[str, np.ndarray]], epoch: int = 0
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Batch a SampleBlock (index samples) or a dict of row-aligned arrays
-        (e.g. UnBERT packed features)."""
-        if isinstance(block, dict):
+        """Batch a SampleBlock (index samples), a dict of row-aligned arrays,
+        or a lazy block exposing ``materialize(idx)`` (UnBERT packed features
+        — built per batch so host memory stays O(batch))."""
+        lazy = hasattr(block, "materialize")
+        if lazy:
+            fields = None
+        elif isinstance(block, dict):
             fields = block
         else:
             fields = {
@@ -64,6 +68,9 @@ class Batcher:
             valid = len(idx)
             if valid < B:  # pad the tail batch by repeating row 0
                 idx = np.concatenate([idx, np.zeros(B - valid, dtype=idx.dtype)])
-            out = {k: v[idx] for k, v in fields.items()}
+            if lazy:
+                out = block.materialize(idx)
+            else:
+                out = {k: v[idx] for k, v in fields.items()}
             out["valid"] = np.int32(valid)
             yield out

@@ -205,18 +205,13 @@ class EvalSampler:
 
     def sample_all(self) -> SampleBlock:
         log = self.log
-        total = len(log.eval_cand_flat)
-        his = np.zeros((total, log.history.shape[1]), dtype=np.int32)
-        imp = np.zeros(total, dtype=np.int32)
-        k = 0
-        for i in range(log.num_eval_impressions):
-            n = log.eval_offsets[i + 1] - log.eval_offsets[i]
-            his[k : k + n] = log.history[log.eval_hist_ptr[i]]
-            imp[k : k + n] = log.eval_impression_id[i]
-            k += n
+        # bulk expansion: one row per candidate, history/impression repeated
+        # per group (no per-impression Python loop — at MIND-large scale the
+        # eval set is millions of candidate rows)
+        counts = np.diff(log.eval_offsets)
         return SampleBlock(
             cand=log.eval_cand_flat.reshape(-1, 1).astype(np.int32),
-            his=his,
+            his=log.history[np.repeat(log.eval_hist_ptr, counts)].astype(np.int32),
             label=log.eval_label_flat.reshape(-1, 1).astype(np.float32),
-            impression_id=imp,
+            impression_id=np.repeat(log.eval_impression_id, counts).astype(np.int32),
         )

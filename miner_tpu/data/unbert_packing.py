@@ -117,8 +117,70 @@ class UnbertPacker:
         }
 
 
+class PackedBlock:
+    """Lazy UnBERT feature block: stores per-row (candidate, history-pointer)
+    indices and packs token features *per batch* via ``materialize`` — the
+    native C++ packer when available, the numpy reference otherwise.
+
+    This keeps host memory O(batch) instead of O(epoch × seq_max_len)
+    (reference: src/entities.py:617-720 packs per ``__getitem__`` in Python;
+    packing the whole epoch up front — the round-1 design — was a host-time
+    and host-memory wall at MIND scale).
+    """
+
+    def __init__(self, packer: UnbertPacker, history: np.ndarray,
+                 cand_rows: np.ndarray, hist_ptr: np.ndarray,
+                 label: np.ndarray, impression_id: np.ndarray):
+        self.packer = packer
+        self.history = history
+        self.cand_rows = cand_rows.astype(np.int32)
+        self.hist_ptr = hist_ptr.astype(np.int32)
+        self.label = label.astype(np.float32)
+        self.impression_id = impression_id.astype(np.int32)
+
+    def __len__(self) -> int:
+        return len(self.cand_rows)
+
+    def _use_native(self) -> bool:
+        from miner_tpu.data import native
+
+        return native.native_available()
+
+    def materialize(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        p = self.packer
+        cand = self.cand_rows[idx]
+        hist = self.history[self.hist_ptr[idx]]
+        if self._use_native():
+            from miner_tpu.data import native
+
+            out = native.pack_unbert(
+                p._tokens, p._lens, cand, hist,
+                p.seq_max_len, p.news_max_len, p.hist_max_len,
+                p.cls_id, p.sep_id, p.pad_id,
+            )
+        else:
+            rows = [p.pack_one(int(c), h) for c, h in zip(cand, hist)]
+            out = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        out["label"] = self.label[idx]
+        out["impression_id"] = self.impression_id[idx]
+        return out
+
+    def to_dict(self) -> Dict[str, np.ndarray]:
+        """Materialize every row at once (tests / tiny fixtures only)."""
+        return self.materialize(np.arange(len(self)))
+
+
 class UnbertTrainSampler:
-    """5x-oversampled random-candidate packing over train events."""
+    """5x-oversampled random-candidate selection over train events.
+
+    Candidate selection is vectorized numpy; the marginal distribution
+    matches the reference's shuffle-then-pick (reference:
+    src/entities.py:671-720): each visit draws the positive (in a random
+    augmentation variant) with probability 1/(npratio+1), otherwise a
+    uniformly-random negative — sampling npratio negatives without
+    replacement and then picking one uniform slot has exactly that marginal.
+    Token packing is deferred to ``PackedBlock.materialize`` per batch.
+    """
 
     def __init__(self, log: BehaviorsLog, store: NewsStore, packer: UnbertPacker,
                  npratio: int, seed: int = 0):
@@ -131,40 +193,33 @@ class UnbertTrainSampler:
     def __len__(self) -> int:
         return OVERSAMPLE * self.log.num_events
 
-    def sample_epoch(self, epoch: int):
-        """Returns dict of stacked arrays for the whole epoch."""
+    def sample_epoch(self, epoch: int) -> PackedBlock:
         rng = np.random.default_rng((self.seed, epoch, 7))
         log, store = self.log, self.store
         N, V = store.num_news, store.num_variants
         total = len(self)
-        rows = []
-        labels = np.zeros(total, dtype=np.float32)
-        imp = np.zeros(total, dtype=np.int32)
-        for j in range(total):
-            e = j // OVERSAMPLE
-            negs = log.negatives(e)
-            pos = int(log.pos_row[e])
-            variant = int(rng.integers(0, V)) if V > 1 else 0
-            cand = np.empty(self.npratio + 1, dtype=np.int64)
-            cand[0] = variant * N + pos
-            if len(negs) >= self.npratio:
-                cand[1:] = rng.choice(negs, size=self.npratio, replace=False)
-            else:
-                cand[1:] = 0
-                cand[1 : 1 + len(negs)] = negs
-            lab = np.zeros(self.npratio + 1, dtype=np.float32)
-            lab[0] = 1.0
-            perm = rng.permutation(self.npratio + 1)
-            cand, lab = cand[perm], lab[perm]
-            pick = int(rng.integers(0, self.npratio + 1))
-            hist = log.history[log.hist_ptr[e]]
-            rows.append(self.packer.pack_one(int(cand[pick]), hist))
-            labels[j] = lab[pick]
-            imp[j] = log.impression_id[e]
-        packed = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-        packed["label"] = labels
-        packed["impression_id"] = imp
-        return packed
+        C = self.npratio + 1
+        e = np.arange(total) // OVERSAMPLE
+
+        variant = (rng.integers(0, V, size=total) if V > 1
+                   else np.zeros(total, dtype=np.int64))
+        slot = rng.integers(0, C, size=total)
+        neg_count = (log.neg_offsets[e + 1] - log.neg_offsets[e]).astype(np.int64)
+        # slots: [positive, neg_1..neg_k, pad...] with k = min(#negs, npratio)
+        k = np.minimum(neg_count, self.npratio)
+        is_pos = slot == 0
+        is_neg = (slot >= 1) & (slot <= k)
+        neg_pick = rng.integers(0, np.maximum(neg_count, 1), size=total)
+        neg_rows = log.neg_flat[
+            np.minimum(log.neg_offsets[e] + neg_pick, len(log.neg_flat) - 1)
+        ]
+        cand = np.where(is_pos, variant * N + log.pos_row[e],
+                        np.where(is_neg, neg_rows, 0)).astype(np.int32)
+        label = is_pos.astype(np.float32)
+        return PackedBlock(
+            self.packer, log.history, cand, log.hist_ptr[e], label,
+            log.impression_id[e],
+        )
 
 
 class UnbertEvalSampler:
@@ -175,17 +230,13 @@ class UnbertEvalSampler:
         self.store = store
         self.packer = packer
 
-    def sample_all(self):
+    def sample_all(self) -> PackedBlock:
         log = self.log
-        rows, labels, imp = [], [], []
-        for i in range(log.num_eval_impressions):
-            cands, labs = log.eval_group(i)
-            hist = log.history[log.eval_hist_ptr[i]]
-            for c, l in zip(cands, labs):
-                rows.append(self.packer.pack_one(int(c), hist))
-                labels.append(float(l))
-                imp.append(int(log.eval_impression_id[i]))
-        packed = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-        packed["label"] = np.asarray(labels, dtype=np.float32)
-        packed["impression_id"] = np.asarray(imp, dtype=np.int32)
-        return packed
+        counts = np.diff(log.eval_offsets)
+        return PackedBlock(
+            self.packer, log.history,
+            log.eval_cand_flat.astype(np.int32),
+            np.repeat(log.eval_hist_ptr, counts),
+            log.eval_label_flat.astype(np.float32),
+            np.repeat(log.eval_impression_id, counts),
+        )

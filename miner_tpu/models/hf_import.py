@@ -41,7 +41,13 @@ def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 def convert_plm_params(checkpoint_dir: str, num_layers: int) -> Dict:
     """Returns a params subtree matching TransformerPLM's structure."""
-    sd = _strip_prefix(_load_state_dict(checkpoint_dir))
+    return convert_plm_state_dict(
+        _strip_prefix(_load_state_dict(checkpoint_dir)), num_layers
+    )
+
+
+def convert_plm_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    """In-memory transformers state dict -> TransformerPLM params subtree."""
 
     def t(name):  # torch Linear weight -> flax kernel
         return np.asarray(sd[name]).T
@@ -99,6 +105,60 @@ def convert_plm_params(checkpoint_dir: str, num_layers: int) -> Dict:
                 "scale": v(p + "output.LayerNorm.weight"),
                 "bias": v(p + "output.LayerNorm.bias"),
             },
+        }
+    return params
+
+
+def convert_miner_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    """Reference-format MINER torch state dict -> our full Miner param tree.
+
+    Maps every trainable tensor of the reference ``Miner`` (reference:
+    src/model/model.py:13-138 + src/model/news_encoder.py:11-110) onto
+    ``miner_tpu.models.miner.Miner``'s parameter layout, fusing the QKV
+    projections. Lets a user of the reference bring a trained checkpoint's
+    ``state_dict`` across (see tools/import_reference_checkpoint.py), and
+    powers the step-level torch-vs-JAX training-parity test
+    (tests/test_torch_parity.py).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def t(name):
+        return sd[name].T
+
+    def v(name):
+        return sd[name]
+
+    plm_sd = {k[len("news_encoder.roberta."):]: vv for k, vv in sd.items()
+              if k.startswith("news_encoder.roberta.")}
+    if not plm_sd:
+        plm_sd = {k[len("news_encoder.bert."):]: vv for k, vv in sd.items()
+                  if k.startswith("news_encoder.bert.")}
+    news_encoder: Dict = {"plm": convert_plm_state_dict(plm_sd, num_layers)}
+    if "news_encoder.reduce_dim.weight" in sd:
+        news_encoder["reduce_dim"] = {
+            "kernel": t("news_encoder.reduce_dim.weight"),
+            "bias": v("news_encoder.reduce_dim.bias"),
+        }
+    if "news_encoder.linear_combine.weight" in sd:
+        news_encoder["linear_combine"] = {
+            "kernel": t("news_encoder.linear_combine.weight"),
+            "bias": v("news_encoder.linear_combine.bias"),
+        }
+
+    params: Dict = {
+        "news_encoder": news_encoder,
+        "poly_attn": {
+            "proj_kernel": t("poly_attn.linear.weight"),
+            "context_codes": v("poly_attn.context_codes"),
+        },
+    }
+    if "category_embedding.weight" in sd:
+        params["category_embedding"] = {
+            "embedding": v("category_embedding.weight")
+        }
+    if "target_aware_attn.linear.weight" in sd:
+        params["target_aware_attn"] = {
+            "proj": {"kernel": t("target_aware_attn.linear.weight")}
         }
     return params
 

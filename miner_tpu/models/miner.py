@@ -135,6 +135,45 @@ class Miner(nn.Module):
         his_repr = reprs[B * C :].reshape(B, H, D)
         return cand_repr, his_repr
 
+    def category_bias_from_ids(
+        self,
+        his_category: jax.Array,  # (B, H)
+        cand_category: jax.Array,  # (B, C)
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """(B, H, C) pairwise category cosine (reference: model.py:113-121)."""
+        his_cat = self.category_dropout(
+            self.category_embedding(his_category), deterministic=deterministic
+        )
+        cand_cat = self.category_dropout(
+            self.category_embedding(cand_category), deterministic=deterministic
+        )
+        return pairwise_cosine_similarity(his_cat, cand_cat)
+
+    def interests_from_history(
+        self,
+        his_repr: jax.Array,  # (B, H, D)
+        his_mask: jax.Array,  # (B, H)
+        bias: jax.Array = None,  # (B, H, C) or None
+    ) -> jax.Array:
+        """(B, K, D) multi-interest vectors via poly-attention."""
+        return self.poly_attn(his_repr, his_mask, bias)
+
+    def aggregate_matching(
+        self,
+        interests: jax.Array,  # (B, K, D)
+        scores: jax.Array,  # (B, C, K) per-interest candidate scores
+        cand_repr: jax.Array = None,  # (B, C, D); needed for 'weighted'
+    ) -> jax.Array:
+        """(B, C) final matching scores (reference: model.py:128-136)."""
+        if self.score_type == "max":
+            return jnp.max(scores, axis=-1)
+        if self.score_type == "mean":
+            return jnp.mean(scores, axis=-1)
+        if self.score_type == "weighted":
+            return self.target_aware_attn(interests, cand_repr, scores)
+        raise ValueError(f"invalid score_type {self.score_type!r}")
+
     def tail(
         self,
         cand_repr: jax.Array,  # (B, C, D)
@@ -147,29 +186,18 @@ class Miner(nn.Module):
         """Everything after the news towers: category bias + poly-attention +
         scoring.  Exposed separately so the cached-inference path (news
         representations from the sharded embedding cache) can reuse the same
-        parameters without re-running the PLM."""
+        parameters without re-running the PLM.  The serving path uses the
+        granular methods above so the candidate gather + per-interest scoring
+        can run in the fused Pallas lookup+score kernel
+        (miner_tpu.ops.lookup_score) directly against the cache."""
         bias = None
         if self.use_category_bias:
-            his_cat = self.category_dropout(
-                self.category_embedding(his_category),
-                deterministic=deterministic,
+            bias = self.category_bias_from_ids(
+                his_category, cand_category, deterministic=deterministic
             )
-            cand_cat = self.category_dropout(
-                self.category_embedding(cand_category),
-                deterministic=deterministic,
-            )
-            bias = pairwise_cosine_similarity(his_cat, cand_cat)  # (B, H, C)
-
-        interests = self.poly_attn(his_repr, his_mask, bias)  # (B, K, D)
+        interests = self.interests_from_history(his_repr, his_mask, bias)
         scores = jnp.einsum("bcd,bkd->bck", cand_repr, interests)
-        if self.score_type == "max":
-            matching = jnp.max(scores, axis=-1)
-        elif self.score_type == "mean":
-            matching = jnp.mean(scores, axis=-1)
-        elif self.score_type == "weighted":
-            matching = self.target_aware_attn(interests, cand_repr, scores)
-        else:
-            raise ValueError(f"invalid score_type {self.score_type!r}")
+        matching = self.aggregate_matching(interests, scores, cand_repr)
         return interests, matching
 
     def __call__(

@@ -62,6 +62,13 @@ class PLMConfig:
     # fused Pallas dropout+residual+LayerNorm (ops/add_ln.py); set alongside
     # fused_attention by plm_config.
     fused_ln: bool = False
+    # device mesh for the multi-device fused-kernel path: when set (and its
+    # data axis has >1 devices), the Pallas kernels are wrapped in
+    # jax.shard_map over the data axis. None = single-device kernels.
+    # Threaded explicitly through the config (jax.sharding.Mesh is hashable)
+    # rather than via process-global state, so two models with different
+    # meshes can coexist in one process.
+    mesh: Optional[Any] = None
 
     @property
     def head_dim(self) -> int:
@@ -118,9 +125,9 @@ class SelfAttention(nn.Module):
         if cfg.fused_attention:
             from miner_tpu.ops.common import on_tpu
             from miner_tpu.ops.mha import fused_mha, mha_packing, mha_padding
-            from miner_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
+            from miner_tpu.parallel.mesh import DATA_AXIS
 
-            mesh = ambient_mesh()
+            mesh = cfg.mesh
             ndev = (mesh.shape[DATA_AXIS]
                     if mesh is not None and DATA_AXIS in mesh.axis_names
                     else 1)
@@ -215,11 +222,12 @@ class _FusedAddLN(nn.Module):
     eps: float
     rate: float
     dtype: Dtype = jnp.float32
+    mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, h, deterministic: bool):
         from miner_tpu.ops.add_ln import fused_dropout_add_ln
-        from miner_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
+        from miner_tpu.parallel.mesh import DATA_AXIS
 
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -233,10 +241,20 @@ class _FusedAddLN(nn.Module):
         x2 = x.reshape(-1, self.features)
         h2 = h.reshape(-1, self.features)
 
-        mesh = ambient_mesh()
+        mesh = self.mesh
         ndev = (mesh.shape[DATA_AXIS]
                 if mesh is not None and DATA_AXIS in mesh.axis_names else 1)
-        if ndev > 1 and x2.shape[0] % ndev == 0:
+        T0 = x2.shape[0]
+        if ndev > 1 and T0 % ndev != 0:
+            ndev = 1  # unshardable row count: single-device kernel
+        # the kernel blocks rows by multiples of 8 (TPU sublane); pad the
+        # row count up when a user-settable geometry (odd title lengths,
+        # tail shapes) makes it non-divisible, and slice the result back
+        pad_rows = (-T0) % (8 * ndev)
+        if pad_rows:
+            x2 = jnp.pad(x2, ((0, pad_rows), (0, 0)))
+            h2 = jnp.pad(h2, ((0, pad_rows), (0, 0)))
+        if ndev > 1:
             from jax.sharding import PartitionSpec as P
 
             def _local(x2, h2, scale, bias, seed):
@@ -252,6 +270,8 @@ class _FusedAddLN(nn.Module):
             )(x2, h2, scale, bias, seed)
         else:
             y = fused_dropout_add_ln(x2, h2, scale, bias, seed, rate, self.eps)
+        if pad_rows:
+            y = y[:T0]
         return y.reshape(shape).astype(self.dtype)
 
 
@@ -267,7 +287,8 @@ class TransformerLayer(nn.Module):
 
         if cfg.fused_ln and on_tpu():
             fused = _FusedAddLN(cfg.hidden_size, cfg.layer_norm_eps,
-                                cfg.hidden_dropout, dtype=self.dtype, name=name)
+                                cfg.hidden_dropout, dtype=self.dtype,
+                                mesh=cfg.mesh, name=name)
             return lambda x, h, det: fused(x, h, det)
         ln = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                           name=name)

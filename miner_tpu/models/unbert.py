@@ -121,15 +121,33 @@ class UNBert(nn.Module):
         elif self.news_mode in ("mean", "attention"):
             w = self._segment_weights(batch, L).astype(self.dtype)  # (B, S, L)
             if self.news_mode == "attention":
-                # per-token weights from a Dense over the flattened sequence
-                # (reference: model_unbert.py:186-193's att_mapping)
+                # per-token weights from the reference's two-layer sigmoid
+                # MLP over the flattened sequence (reference:
+                # model_unbert.py:252-257: Linear(L*D,128)->Sigmoid->
+                # Linear(128,L)); the reference scales sequence_output in
+                # place (model_unbert.py:189-191), so the word-level CLS is
+                # weighted too — reproduced below.
+                h_att = nn.Dense(
+                    128, dtype=self.dtype, kernel_init=dense_init(cfg),
+                    name="att_mapping_in",
+                )(x.reshape(x.shape[0], -1))
                 tok_w = nn.Dense(
                     L, dtype=self.dtype, kernel_init=dense_init(cfg),
-                    name="att_mapping",
-                )(x.reshape(x.shape[0], -1))  # (B, L)
+                    name="att_mapping_out",
+                )(jax.nn.sigmoid(h_att))  # (B, L)
+                x = x * tok_w[..., None]
                 w = w * tok_w[:, None, :]
             denom = jnp.sum(w, axis=-1, keepdims=True) + 1e-6
-            news_seq = jnp.einsum("bsl,bld->bsd", w, x) / denom
+            # attention mode: sum of scaled embeddings / sum of weights
+            # == einsum(member, x_scaled) / sum(member * tok_w); the extra
+            # tok_w factor in the numerator cancels against using the
+            # unscaled x, so reuse the scaled x directly with the member
+            # mask as weights.
+            if self.news_mode == "attention":
+                member = self._segment_weights(batch, L).astype(self.dtype)
+                news_seq = jnp.einsum("bsl,bld->bsd", member, x) / denom
+            else:
+                news_seq = jnp.einsum("bsl,bld->bsd", w, x) / denom
         else:
             raise ValueError(f"unknown news_mode {self.news_mode!r}")
 

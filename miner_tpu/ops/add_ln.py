@@ -29,8 +29,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from miner_tpu.ops.common import on_tpu
-
 
 def _threshold(rate: float) -> int:
     return min(int(rate * 4294967296.0), 4294967295)
@@ -104,10 +102,15 @@ def _bwd_kernel(seed_ref, x_ref, h_ref, scale_ref, dy_ref,
 
 
 def _pick_block(T: int, max_rows: int = 512) -> int:
+    """Largest 8-aligned block dividing T. Callers (plm._FusedAddLN) pad the
+    row count to a multiple of 8, so this never degenerates to a full-array
+    block (which would overflow VMEM at real geometries)."""
     for cand in (512, 256, 128, 64, 32, 16, 8):
         if cand <= max_rows and T % cand == 0:
             return cand
-    return T
+    raise ValueError(
+        f"fused add_ln requires the row count to be a multiple of 8, got {T}"
+    )
 
 
 def _call_fwd(x, h, scale, bias, seed, rate, eps, interpret, max_rows=512):
@@ -184,7 +187,3 @@ def _fused_bwd(rate, eps, interpret, res, dy):
 
 
 fused_dropout_add_ln.defvjp(_fused_fwd, _fused_bwd)
-
-
-def add_ln_available(T: int) -> bool:
-    return on_tpu() and T % 8 == 0

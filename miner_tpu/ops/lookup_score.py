@@ -108,7 +108,13 @@ def _lookup_pallas(cache, cand_idx, interests, interpret):
     return out[:, :, :K]
 
 
+def lookup_score_available(dim: int) -> bool:
+    """The kernel's per-row DMA slices the lane dim: D must be a multiple of
+    the 128-lane tile (Mosaic rejects smaller slices)."""
+    return dim % 128 == 0
+
+
 def lookup_score_fused(cache, cand_idx, interests, interpret: bool = False):
-    if interpret or on_tpu():
+    if (interpret or on_tpu()) and lookup_score_available(cache.shape[1]):
         return _lookup_pallas(cache, cand_idx, interests, interpret)
     return lookup_score_reference(cache, cand_idx, interests)

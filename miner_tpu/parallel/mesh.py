@@ -59,20 +59,3 @@ def maybe_initialize_distributed():
         "COORDINATOR_ADDRESS"
     ):
         jax.distributed.initialize()
-
-
-# ------------------------------------------------------------- ambient mesh
-# The trainer publishes its mesh here so flax modules (which cannot take a
-# Mesh as a hashable hyperparameter) can wrap Pallas kernels in
-# ``jax.shard_map`` at trace time. Read via ``ambient_mesh()`` inside module
-# code; ``None`` means single-device (no wrapping).
-_AMBIENT_MESH: Optional[Mesh] = None
-
-
-def set_ambient_mesh(mesh: Optional[Mesh]) -> None:
-    global _AMBIENT_MESH
-    _AMBIENT_MESH = mesh if mesh is not None and mesh.devices.size > 1 else None
-
-
-def ambient_mesh() -> Optional[Mesh]:
-    return _AMBIENT_MESH

@@ -31,15 +31,26 @@ def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.mean(nll)
 
 
-def disagreement(interests: jax.Array) -> jax.Array:
-    """Mean pairwise cosine among the K interest vectors (diagonal zeroed)."""
-    return jnp.mean(
-        pairwise_cosine_similarity(
-            interests.astype(jnp.float32),
-            interests.astype(jnp.float32),
-            zero_diagonal=True,
-        )
+def disagreement(
+    interests: jax.Array, row_mask: jax.Array | None = None
+) -> jax.Array:
+    """Mean pairwise cosine among the K interest vectors (diagonal zeroed).
+
+    ``row_mask`` (B,) excludes padded tail-batch rows from the mean (the
+    fixed-shape Batcher repeats row 0 to fill the last batch; those duplicate
+    rows must not contribute — reference batches are ragged, so the
+    reference has no equivalent term to inflate).
+    """
+    cos = pairwise_cosine_similarity(
+        interests.astype(jnp.float32),
+        interests.astype(jnp.float32),
+        zero_diagonal=True,
     )
+    if row_mask is None:
+        return jnp.mean(cos)
+    m = row_mask.astype(jnp.float32)
+    per_row = jnp.mean(cos, axis=tuple(range(1, cos.ndim)))
+    return jnp.sum(per_row * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def miner_loss(interests: jax.Array, logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -56,13 +67,26 @@ def vanilla_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return cross_entropy(logits, targets)
 
 
-def logsigmoid_eval_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def logsigmoid_eval_loss(
+    logits: jax.Array, labels: jax.Array, row_mask: jax.Array | None = None
+) -> jax.Array:
     logits = logits.astype(jnp.float32)
-    return -jnp.sum(jax.nn.log_sigmoid(logits) * labels.astype(jnp.float32))
+    terms = jax.nn.log_sigmoid(logits) * labels.astype(jnp.float32)
+    if row_mask is not None:
+        m = row_mask.astype(jnp.float32)
+        terms = terms * m.reshape(m.shape + (1,) * (terms.ndim - 1))
+    return -jnp.sum(terms)
 
 
-def miner_eval_loss(interests: jax.Array, logits: jax.Array, labels: jax.Array) -> jax.Array:
-    return logsigmoid_eval_loss(logits, labels) + disagreement(interests)
+def miner_eval_loss(
+    interests: jax.Array,
+    logits: jax.Array,
+    labels: jax.Array,
+    row_mask: jax.Array | None = None,
+) -> jax.Array:
+    return logsigmoid_eval_loss(logits, labels, row_mask) + disagreement(
+        interests, row_mask
+    )
 
 
 def pretrain_contrastive(embs: jax.Array, num_augmentations: int = 3) -> jax.Array:

@@ -43,6 +43,18 @@ def linear_warmup_schedule(
     return schedule
 
 
+def scheduled_lr_value(
+    learning_rate: float, warmup_steps: int, total_steps: int, step: int
+) -> float:
+    """Pure-python mirror of ``linear_warmup_schedule`` for logging the
+    *actual* LR at a given optimizer step (no device roundtrip)."""
+    if step < warmup_steps:
+        return learning_rate * min(step / max(warmup_steps, 1), 1.0)
+    return learning_rate * max(
+        (total_steps - step) / max(total_steps - warmup_steps, 1), 0.0
+    )
+
+
 def warmup_steps_from_ratio(
     total_steps: int, warmup_ratio: float, warmup_steps: Optional[int] = None
 ) -> int:
@@ -51,16 +63,18 @@ def warmup_steps_from_ratio(
     return math.ceil(total_steps * warmup_ratio)
 
 
-_NO_DECAY = re.compile(r"(bias|scale|ln|layer_norm|layernorm|embedding\b)", re.IGNORECASE)
+_NO_DECAY = re.compile(r"(bias|scale|\bln\b|layer_norm|layernorm)", re.IGNORECASE)
 
 
 def default_decay_mask(params) -> object:
-    """True where weight decay applies: 2-D+ kernels; not biases/LN scales.
+    """True where weight decay applies: everything except biases/LN scales.
 
-    The reference's grouping excludes parameters named 'bias' or
-    'LayerNorm.weight' (the standard transformers recipe). In our parameter
-    tree, flax LayerNorm params are 'scale'/'bias' and Dense kernels are
-    'kernel'; masking by path name + rank reproduces the same split.
+    This matches the reference's grouping exactly (reference:
+    src/trainer.py:325-332, the standard transformers recipe): only
+    parameters named 'bias' or 'LayerNorm.weight' are excluded — embedding
+    tables DO get decay, as they do in the reference.  In our parameter
+    tree, flax LayerNorm params are 'scale'/'bias'; rank-<2 leaves are also
+    excluded (they are exactly the biases/scales plus scalar counters).
     """
 
     def mask_fn(path, leaf):

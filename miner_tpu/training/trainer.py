@@ -57,10 +57,14 @@ from miner_tpu.models import (
 from miner_tpu.models.fastformer import FastformerConfig
 from miner_tpu.observability.logging import RunLogger
 from miner_tpu.parallel.mesh import MeshConfig, make_mesh
-from miner_tpu.parallel.sharding import replicate, shard_batch
+from miner_tpu.parallel.sharding import replicate, replicate_tree, shard_batch
 from miner_tpu.training import losses
 from miner_tpu.training.checkpoint import CheckpointManager
-from miner_tpu.training.optim import make_optimizer, warmup_steps_from_ratio
+from miner_tpu.training.optim import (
+    make_optimizer,
+    scheduled_lr_value,
+    warmup_steps_from_ratio,
+)
 from miner_tpu.training.train_state import TrainState
 
 
@@ -96,11 +100,6 @@ class Trainer:
         self.compute_dtype = _dtype(args.compute_dtype)
         self.n_devices = self.mesh.devices.size
         _configure_prng(getattr(args, "rng_impl", None))
-        from miner_tpu.parallel.mesh import set_ambient_mesh
-
-        set_ambient_mesh(
-            self.mesh if self.n_devices > 1 and self._use_fused() else None
-        )
 
     # ------------------------------------------------------------------ data
     def _load_store(self, news_path: str, augmentations=None) -> NewsStore:
@@ -113,11 +112,27 @@ class Trainer:
             augmentations=augmentations,
         )
 
-    def _make_table(self, store: NewsStore) -> NewsTable:
+    def _host_table(self, store: NewsStore) -> NewsTable:
+        """Host-side (numpy) table: used for parameter init, which runs
+        eagerly per process and must not touch mesh-global arrays."""
         return NewsTable.from_store(
             store,
             use_sapo=self.args.use_sapo,
             combine_type=self.args.combine_type,
+            device_put=False,
+        )
+
+    def _make_table(self, store: NewsStore) -> NewsTable:
+        import dataclasses as dc
+
+        table = self._host_table(store)
+        # replicate the token table onto the mesh explicitly — required under
+        # multi-process jax (a single-device constant cannot be closed over
+        # by a multi-process jit), free single-process
+        put = lambda x: None if x is None else replicate_tree(self.mesh, x)
+        return dc.replace(
+            table, title=put(table.title), sapo=put(table.sapo),
+            category=put(table.category),
         )
 
     def _train_sampler(self, log: BehaviorsLog, store: NewsStore):
@@ -148,7 +163,7 @@ class Trainer:
         if self.args.fused_kernels is not None:
             # explicit opt-in also covers multi-device meshes: the kernels
             # are wrapped in jax.shard_map over the data axis (see
-            # models/plm.py + parallel.mesh.ambient_mesh)
+            # models/plm.py; the mesh is threaded through PLMConfig.mesh)
             return bool(self.args.fused_kernels)
         from miner_tpu.ops.common import on_tpu
 
@@ -162,11 +177,12 @@ class Trainer:
         gelu_approx = getattr(a, "gelu_approx", None)
         if gelu_approx is None:
             gelu_approx = dtype == jnp.bfloat16
+        use_fused = self._use_fused()
         plm = plm_config(a.plm_preset, vocab_size=self.tokenizer.vocab_size,
                          remat=a.remat, gelu_approx=gelu_approx,
                          attn_fp32=getattr(a, "attn_fp32", True),
-                         fused_attention=self._use_fused())
-        use_fused = self._use_fused()
+                         fused_attention=use_fused,
+                         mesh=self.mesh if self.n_devices > 1 else None)
         if self.model_name in ("miner", "pretrain"):
             encoder = NewsEncoder(
                 plm_cfg=plm,
@@ -232,12 +248,24 @@ class Trainer:
             )
             return UniSRec(news_encoder=encoder, max_his_len=a.his_length), "vanilla"
         if self.model_name == "unbert":
-            from miner_tpu.models.plm import PLMConfig
             from miner_tpu.models.unbert import UNBert
             import dataclasses as dc
 
-            cfg = plm_config(a.plm_preset, vocab_size=self.tokenizer.vocab_size)
-            cfg = dc.replace(cfg, type_vocab_size=max(2, cfg.type_vocab_size))
+            from miner_tpu.data.unbert_packing import SEQ_MAX_LEN
+
+            # reuse the tower config built above so --fused_kernels /
+            # --gelu_approx / --attn_fp32 / --remat apply to UnBERT exactly
+            # like every other model; the position table must cover the
+            # packed sequence (an out-of-range position gather fills NaN —
+            # the tiny preset's 256 < the 300-token packing)
+            cfg = dc.replace(
+                plm,
+                type_vocab_size=max(2, plm.type_vocab_size),
+                max_position_embeddings=max(
+                    plm.max_position_embeddings,
+                    SEQ_MAX_LEN + plm.position_offset,
+                ),
+            )
             # the news-level encoder is a full-depth BertEncoder in the
             # reference (model_unbert.py:70); overridable since the news
             # sequence is only ~21 positions
@@ -259,7 +287,8 @@ class Trainer:
     # ----------------------------------------------------------------- steps
     def _apply_and_loss(self, model, kind: str, params, table: NewsTable,
                         batch: Dict[str, jax.Array], train: bool,
-                        rngs: Optional[dict]):
+                        rngs: Optional[dict],
+                        row_mask: Optional[jax.Array] = None):
         variables = {"params": params}
         deterministic = not train
         if kind == "pretrain":
@@ -295,7 +324,8 @@ class Trainer:
                     logits, batch["label"]
                 )
             else:
-                loss = losses.logsigmoid_eval_loss(logits, batch["label"])
+                loss = losses.logsigmoid_eval_loss(logits, batch["label"],
+                                                   row_mask)
             return loss, logits
         model_batch = table.lookup(batch["cand_idx"], batch["his_idx"])
         if kind == "miner":
@@ -305,7 +335,8 @@ class Trainer:
             if train:
                 loss = losses.miner_loss(interests, logits, batch["label"])
             else:
-                loss = losses.miner_eval_loss(interests, logits, batch["label"])
+                loss = losses.miner_eval_loss(interests, logits,
+                                              batch["label"], row_mask)
             return loss, logits
         logits = model.apply(
             variables, model_batch, deterministic=deterministic, rngs=rngs
@@ -313,7 +344,7 @@ class Trainer:
         if train:
             loss = losses.vanilla_loss(logits, batch["label"])
         else:
-            loss = losses.logsigmoid_eval_loss(logits, batch["label"])
+            loss = losses.logsigmoid_eval_loss(logits, batch["label"], row_mask)
         return loss, logits
 
     def _make_train_step(self, model, kind: str, table: NewsTable):
@@ -334,13 +365,25 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _make_eval_step(self, model, kind: str, table: NewsTable):
-        def eval_step(params, batch):
+        def eval_step(params, batch, valid):
+            # mask padded tail-batch rows out of the loss (the logits are
+            # truncated host-side by the evaluator; the loss must match)
+            B = next(iter(batch.values())).shape[0]
+            row_mask = jnp.arange(B) < valid
             loss, logits = self._apply_and_loss(
-                model, kind, params, table, batch, train=False, rngs=None
+                model, kind, params, table, batch, train=False, rngs=None,
+                row_mask=row_mask,
             )
             return loss, logits
 
-        return jax.jit(eval_step)
+        return jax.jit(eval_step, out_shardings=self._eval_out_shardings())
+
+    def _eval_out_shardings(self):
+        """Multi-process: replicate eval outputs so the host-side evaluator
+        can fetch full logits (single-process: let jit decide)."""
+        if jax.process_count() > 1:
+            return (replicate(self.mesh), replicate(self.mesh))
+        return None
 
     # ----------------------------------------------------------------- train
     def train(self):
@@ -387,7 +430,9 @@ class Trainer:
         model, kind = self.build_model(store)
         example = next(batcher.batches(block0))
         example = {k: jnp.asarray(v) for k, v in example.items()}
-        params = self._init_params_for_kind(model, kind, table, example)
+        params = self._init_params_for_kind(
+            model, kind, self._host_table(store), example
+        )
         from miner_tpu.utils import tree_size
 
         log.info("parameters: %.2fM", tree_size(params) / 1e6)
@@ -413,7 +458,7 @@ class Trainer:
                 payload["params"],
             )
         state = TrainState.create(params, tx, jax.random.PRNGKey(a.seed + 1))
-        state = jax.device_put(state, replicate(self.mesh))
+        state = replicate_tree(self.mesh, state)
 
         ckpt = CheckpointManager(os.path.join(logger.run_dir, "ckpt"))
         if getattr(a, "resume_from", None):
@@ -426,11 +471,14 @@ class Trainer:
                 step=payload["step"], rng=payload["rng"],
             )
             log.info("resumed from %s at step %d", a.resume_from, int(state.step))
-        # epochs already completed are skipped exactly: the per-epoch sampler
-        # stream is a pure function of (seed, epoch), so restarting at
-        # start_epoch reproduces the data order the interrupted run would
-        # have seen.
+        # resume is exact: the per-epoch sampler stream is a pure function of
+        # (seed, epoch), so completed epochs are skipped wholesale and the
+        # partial epoch's already-consumed batches are fast-forwarded — the
+        # restarted run sees exactly the data order the interrupted run
+        # would have (and global_step / the LR schedule stay aligned with
+        # state.step, fixing the reference-era epoch-flooring drift).
         start_epoch = min(int(state.step) // steps_per_epoch, a.num_train_epochs)
+        skip_batches = int(state.step) % steps_per_epoch
         train_step = self._make_train_step(model, kind, table)
         eval_step = self._make_eval_step(model, kind, eval_table)
         cached_ctx = (
@@ -440,13 +488,15 @@ class Trainer:
         )
 
         best_loss, best_auc = float("inf"), -float("inf")
-        global_step = start_epoch * steps_per_epoch
+        global_step = int(state.step)
         ex_counter, t_last = 0, time.time()
         for epoch in range(start_epoch, a.num_train_epochs):
             t_epoch = time.time()
             block = sampler.sample_epoch(epoch)
             epoch_losses = []
-            for batch in batcher.batches(block, epoch):
+            for i, batch in enumerate(batcher.batches(block, epoch)):
+                if epoch == start_epoch and i < skip_batches:
+                    continue  # fast-forward a mid-epoch resume
                 dev_batch = shard_batch(self.mesh, {
                     k: v for k, v in batch.items() if k != "valid"
                 })
@@ -459,8 +509,12 @@ class Trainer:
                     dt = time.time() - t_last
                     eps = ex_counter / dt if dt > 0 else 0.0
                     ex_counter, t_last = 0, time.time()
+                    lr_now = scheduled_lr_value(
+                        a.learning_rate, warmup, total_updates,
+                        global_step // a.gradient_accumulation_steps,
+                    )
                     logger.log_train(epoch, global_step, loss_v,
-                                     a.learning_rate, eps / self.n_devices)
+                                     lr_now, eps / self.n_devices)
                 if eval_log is not None and global_step % a.eval_steps == 0:
                     scores, eval_loss = self._run_eval(
                         eval_step, state.params, eval_log, logger, epoch,
@@ -538,7 +592,62 @@ class Trainer:
     def _supports_cached_eval(self, kind: str) -> bool:
         return kind in ("miner", "vanilla") and self.model_name != "unbert"
 
-    def _make_cached_eval_step(self, model, kind: str, table: NewsTable):
+    def _make_cached_scores_fn(self, model, kind: str, cat_pad: int,
+                               fused_ok: bool):
+        """Scoring from the news-embedding cache (zero PLM calls).
+
+        For the MINER kind the candidate gather + per-interest scoring runs
+        in the fused Pallas lookup+score kernel (ops/lookup_score.py) when
+        the cache is single-shard TPU-resident (``fused_ok``) — rows are
+        DMA'd straight from HBM into the MXU matmul instead of materializing
+        a (B, C, D) gather. Falls back to the XLA reference elsewhere; both
+        paths are equivalence-tested. Returns ``(interests|None, matching)``.
+        """
+        from miner_tpu.ops.lookup_score import (
+            lookup_score_fused,
+            lookup_score_reference,
+        )
+
+        score = lookup_score_fused if fused_ok else lookup_score_reference
+
+        def scores_fn(params, cache_emb, cache_cat, cand_idx, his_idx):
+            variables = {"params": params}
+            his_repr = jnp.take(cache_emb, his_idx, axis=0)
+            his_cat = jnp.take(cache_cat, his_idx, axis=0)
+            cand_cat = jnp.take(cache_cat, cand_idx, axis=0)
+            his_mask = (his_cat != cat_pad).astype(jnp.int32)
+            if kind == "miner":
+                bias = None
+                if model.use_category_bias:
+                    bias = model.apply(
+                        variables, his_cat, cand_cat, True,
+                        method=type(model).category_bias_from_ids,
+                    )
+                interests = model.apply(
+                    variables, his_repr, his_mask, bias,
+                    method=type(model).interests_from_history,
+                )
+                pscores = score(cache_emb, cand_idx, interests)
+                cand_repr = None
+                if model.score_type == "weighted":
+                    cand_repr = jnp.take(cache_emb, cand_idx, axis=0)
+                matching = model.apply(
+                    variables, interests, pscores, cand_repr,
+                    method=type(model).aggregate_matching,
+                )
+                return interests, matching
+            # vanilla kinds (fastformer/unisrec): tail from gathered reprs
+            cand_repr = jnp.take(cache_emb, cand_idx, axis=0)
+            out = model.apply(
+                variables, cand_repr, his_repr, cand_cat, his_cat, his_mask,
+                deterministic=True, method=type(model).tail,
+            )
+            return None, out
+
+        return scores_fn
+
+    def _make_cached_eval_step(self, model, kind: str, table: NewsTable,
+                               fused_ok: bool = False):
         """Eval step over the news-embedding cache: zero PLM calls per batch.
 
         The news encoder is deterministic at eval time, so per-news
@@ -546,29 +655,26 @@ class Trainer:
         reference's slow path) or once per corpus — this path changes
         throughput, not scores.
         """
-        cat_pad = table.category_pad_id
+        scores_fn = self._make_cached_scores_fn(
+            model, kind, table.category_pad_id, fused_ok
+        )
 
-        def eval_step(params, cache_emb, cache_cat, batch):
-            cand_repr = jnp.take(cache_emb, batch["cand_idx"], axis=0)
-            his_repr = jnp.take(cache_emb, batch["his_idx"], axis=0)
-            cand_cat = jnp.take(cache_cat, batch["cand_idx"], axis=0)
-            his_cat = jnp.take(cache_cat, batch["his_idx"], axis=0)
-            his_mask = (his_cat != cat_pad).astype(jnp.int32)
-            out = model.apply(
-                {"params": params},
-                cand_repr, his_repr, cand_cat, his_cat, his_mask,
-                deterministic=True,
-                method=type(model).tail,
+        def eval_step(params, cache_emb, cache_cat, batch, valid):
+            B = batch["cand_idx"].shape[0]
+            row_mask = jnp.arange(B) < valid
+            interests, logits = scores_fn(
+                params, cache_emb, cache_cat, batch["cand_idx"],
+                batch["his_idx"],
             )
             if kind == "miner":
-                interests, logits = out
-                loss = losses.miner_eval_loss(interests, logits, batch["label"])
+                loss = losses.miner_eval_loss(interests, logits,
+                                              batch["label"], row_mask)
             else:
-                logits = out
-                loss = losses.logsigmoid_eval_loss(logits, batch["label"])
+                loss = losses.logsigmoid_eval_loss(logits, batch["label"],
+                                                   row_mask)
             return loss, logits
 
-        return jax.jit(eval_step)
+        return jax.jit(eval_step, out_shardings=self._eval_out_shardings())
 
     def _build_eval_cache(self, model, params, table: NewsTable):
         from miner_tpu.parallel.news_cache import build_cache
@@ -615,16 +721,20 @@ class Trainer:
         if cached_ctx is not None:
             model, kind, table = cached_ctx
             cache = self._build_eval_cache(model, params, table)
-            cached_step = self._make_cached_eval_step(model, kind, table)
+            cached_step = self._make_cached_eval_step(
+                model, kind, table, fused_ok=cache.mesh is None
+            )
         for batch in batcher.batches(block):
             valid = int(batch.pop("valid"))
             dev_batch = shard_batch(self.mesh, batch)
+            dev_valid = jnp.asarray(valid, jnp.int32)
             if cache is not None:
                 loss, logits = cached_step(
-                    params, cache.embeddings, cache.category, dev_batch
+                    params, cache.embeddings, cache.category, dev_batch,
+                    dev_valid,
                 )
             else:
-                loss, logits = eval_step(params, dev_batch)
+                loss, logits = eval_step(params, dev_batch, dev_valid)
             total_loss += float(jax.device_get(loss))
             evaluator.eval_batch(
                 np.asarray(jax.device_get(logits)),
@@ -669,7 +779,9 @@ class Trainer:
         batcher = Batcher(a.eval_batch_size, drop_last=False, shuffle=False)
         example = next(batcher.batches(block))
         example = {k: jnp.asarray(v) for k, v in example.items() if k != "valid"}
-        params = self._init_params_for_kind(model, kind, table, example)
+        params = self._init_params_for_kind(
+            model, kind, self._host_table(store), example
+        )
         if a.saved_model_path:
             ckpt = CheckpointManager(os.path.dirname(a.saved_model_path))
             payload = ckpt.restore(os.path.basename(a.saved_model_path))
@@ -717,16 +829,22 @@ class Trainer:
             row_to_id = {v: k for k, v in store.id_to_row.items()}
             cand_ids = [row_to_id.get(i, str(i)) for i in cand]
 
-        # init + restore params
+        # init + restore params. The init example uses a single dummy
+        # candidate: parameter shapes are independent of the candidate count,
+        # and a full-corpus candidate row would run the PLM news tower over
+        # every news item just to produce shapes that the checkpoint
+        # overwrites anyway.
         H = min(len(his), a.his_length)
         example = {
-            "cand_idx": np.zeros((1, max(len(cand), 1)), np.int32),
+            "cand_idx": np.zeros((1, 1), np.int32),
             "his_idx": np.zeros((1, a.his_length), np.int32),
-            "label": np.zeros((1, max(len(cand), 1)), np.float32),
+            "label": np.zeros((1, 1), np.float32),
             "impression_id": np.zeros((1,), np.int32),
         }
         example = {k: jnp.asarray(v) for k, v in example.items()}
-        params = self._init_params_for_kind(model, kind, table, example)
+        params = self._init_params_for_kind(
+            model, kind, self._host_table(store), example
+        )
         if a.saved_model_path:
             ckpt = CheckpointManager(os.path.dirname(a.saved_model_path))
             payload = ckpt.restore(os.path.basename(a.saved_model_path))
@@ -737,22 +855,28 @@ class Trainer:
         his_idx[0, -H:] = his[-H:]  # left-pad, recency at the end
         cand_idx = np.asarray(cand, np.int32)[None, :]
 
-        cand_repr = cache.lookup(jnp.asarray(cand_idx))
-        his_repr = cache.lookup(jnp.asarray(his_idx))
-        cand_cat = cache.lookup_category(jnp.asarray(cand_idx))
-        his_cat = cache.lookup_category(jnp.asarray(his_idx))
-        his_mask = (his_cat != table.category_pad_id).astype(jnp.int32)
-        out = model.apply(
-            {"params": params}, cand_repr, his_repr, cand_cat, his_cat,
-            his_mask, deterministic=True, method=type(model).tail,
-        )
-        logits = out[1] if kind == "miner" else out
-        scores = np.asarray(jax.device_get(logits))[0]
+        scores = self.serve_scores(model, kind, params, cache, cand_idx,
+                                   his_idx)[0]
         order = np.argsort(-scores)[: a.topk]
         results = [(cand_ids[i], float(scores[i])) for i in order]
         for nid, sc in results:
             print(f"{nid}\t{sc:.4f}")
         return results
+
+    def serve_scores(self, model, kind: str, params, cache,
+                     cand_idx: np.ndarray, his_idx: np.ndarray) -> np.ndarray:
+        """Batched multi-user serving: (B, C) candidate indices + (B, H)
+        history indices -> (B, C) matching scores, straight from the
+        news-embedding cache through the fused lookup+score kernel on TPU
+        (single-shard caches) or the XLA reference elsewhere."""
+        scores_fn = jax.jit(self._make_cached_scores_fn(
+            model, kind, cache.category_pad_id, fused_ok=cache.mesh is None
+        ))
+        _, logits = scores_fn(
+            params, cache.embeddings, cache.category,
+            jnp.asarray(cand_idx, jnp.int32), jnp.asarray(his_idx, jnp.int32),
+        )
+        return np.asarray(jax.device_get(logits))
 
 
 def _ckpt_payload(state: TrainState):

@@ -1,5 +1,5 @@
-"""Multi-device fused-kernel path: with an ambient mesh, the PLM wraps its
-Pallas kernels in jax.shard_map over the data axis. Forward AND parameter
+"""Multi-device fused-kernel path: with ``PLMConfig.mesh`` set, the PLM wraps
+its Pallas kernels in jax.shard_map over the data axis. Forward AND parameter
 gradients must match the unfused global computation (catches the classic
 missing-psum-on-replicated-cotangents pitfall)."""
 import dataclasses as dc
@@ -13,16 +13,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from miner_tpu.models.plm import PLMConfig, TransformerPLM
 from miner_tpu.ops import common
-from miner_tpu.parallel.mesh import MeshConfig, make_mesh, set_ambient_mesh
+from miner_tpu.parallel.mesh import MeshConfig, make_mesh
 
 
 @pytest.fixture
 def mesh8():
     if jax.device_count() < 8:
         pytest.skip("needs 8 devices")
-    mesh = make_mesh(MeshConfig(data=8, table=1))
-    yield mesh
-    set_ambient_mesh(None)
+    return make_mesh(MeshConfig(data=8, table=1))
 
 
 def _force_interpret(monkeypatch):
@@ -64,9 +62,8 @@ def test_sharded_fused_plm_matches_unfused(rng, mesh8, monkeypatch):
     l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
 
     _force_interpret(monkeypatch)
-    set_ambient_mesh(mesh8)
     plm_fused = TransformerPLM(
-        dc.replace(cfg, fused_attention=True, fused_ln=True))
+        dc.replace(cfg, fused_attention=True, fused_ln=True, mesh=mesh8))
     sharded_ids = jax.device_put(ids, NamedSharding(mesh8, P("data")))
     sharded_mask = jax.device_put(mask, NamedSharding(mesh8, P("data")))
 

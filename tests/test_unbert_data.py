@@ -58,20 +58,63 @@ def test_train_sampler_oversamples(setup):
     _, tok, store, log, packer = setup
     s = UnbertTrainSampler(log, store, packer, npratio=3, seed=1)
     assert len(s) == 5 * log.num_events
-    block = s.sample_epoch(0)
+    block = s.sample_epoch(0).to_dict()
     assert block["input_ids"].shape == (len(s), 64)
     assert block["label"].shape == (len(s),)
     assert set(np.unique(block["label"])) <= {0.0, 1.0}
+    # the positive is drawn with probability 1/(npratio+1) per visit
+    # (reference: entities.py:671-720's shuffle-then-pick marginal)
+    assert 0.0 < block["label"].mean() < 0.6
     # resampling differs across epochs, reproducible within
-    b1 = s.sample_epoch(1)
+    b1 = s.sample_epoch(1).to_dict()
     assert not np.array_equal(block["input_ids"], b1["input_ids"])
-    np.testing.assert_array_equal(block["input_ids"], s.sample_epoch(0)["input_ids"])
+    np.testing.assert_array_equal(
+        block["input_ids"], s.sample_epoch(0).to_dict()["input_ids"]
+    )
+
+
+def test_train_sampler_streams_per_batch(setup):
+    """sample_epoch returns a lazy block; the Batcher materializes packed
+    features per batch (host memory O(batch), not O(epoch))."""
+    from miner_tpu.data.batcher import Batcher
+    from miner_tpu.data.unbert_packing import PackedBlock
+
+    _, tok, store, log, packer = setup
+    s = UnbertTrainSampler(log, store, packer, npratio=3, seed=1)
+    block = s.sample_epoch(0)
+    assert isinstance(block, PackedBlock)
+    batch = next(Batcher(8, drop_last=False).batches(block))
+    assert batch["input_ids"].shape == (8, 64)
+    assert batch["valid"] == 8
+    # batch rows equal whole-epoch materialization rows
+    full = block.to_dict()
+    np.testing.assert_array_equal(batch["input_ids"], full["input_ids"][:8])
+
+
+def test_packed_block_native_matches_numpy(setup):
+    """The native per-batch pack path must be bit-identical to numpy."""
+    from miner_tpu.data.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    _, tok, store, log, packer = setup
+    s = UnbertTrainSampler(log, store, packer, npratio=3, seed=5)
+    block = s.sample_epoch(0)
+    idx = np.arange(min(12, len(block)))
+    native_out = block.materialize(idx)
+    import unittest.mock as mock
+
+    with mock.patch.object(type(block), "_use_native", return_value=False):
+        numpy_out = block.materialize(idx)
+    for key in numpy_out:
+        np.testing.assert_array_equal(native_out[key], numpy_out[key],
+                                      err_msg=f"field {key}")
 
 
 def test_eval_sampler_deterministic(setup):
     _, tok, store, log, packer = setup
     s = UnbertEvalSampler(log, store, packer)
-    b1, b2 = s.sample_all(), s.sample_all()
+    b1, b2 = s.sample_all().to_dict(), s.sample_all().to_dict()
     np.testing.assert_array_equal(b1["input_ids"], b2["input_ids"])
     assert len(b1["label"]) == len(log.eval_cand_flat)
 
@@ -103,3 +146,12 @@ def test_unbert_train_e2e(setup, tmp_path):
     args = make_parser().parse_args(argv)
     state = Trainer(args).train()
     assert int(state.step) > 0
+    # regression: the 300-token packing exceeded the tiny preset's position
+    # table (256) and silently NaN'd the whole model in round 1
+    import csv
+    import glob
+
+    rd = glob.glob(os.path.join(str(tmp_path), "train", "*"))[0]
+    rows = list(csv.DictReader(open(os.path.join(rd, "loss.csv"))))
+    assert rows and all(np.isfinite(float(r["loss"])) for r in rows), \
+        "UnBERT training loss is not finite"

@@ -81,28 +81,50 @@ def main():
     cand_idx = jnp.asarray(rng.integers(1, V, size=(B, C)).astype(np.int32))
     his_idx = jnp.asarray(rng.integers(1, V, size=(B, H)).astype(np.int32))
 
-    @jax.jit
-    def score(p, emb, cat, cand_idx, his_idx):
-        cand = jnp.take(emb, cand_idx, axis=0)
-        his = jnp.take(emb, his_idx, axis=0)
-        ccat = jnp.take(cat, cand_idx, axis=0)
-        hcat = jnp.take(cat, his_idx, axis=0)
-        hmask = (hcat != 0).astype(jnp.int32)
-        _, logits = model.apply({"params": p}, cand, his, ccat, hcat, hmask,
-                                deterministic=True, method=type(model).tail)
-        return logits
+    from miner_tpu.ops.lookup_score import (
+        lookup_score_fused,
+        lookup_score_reference,
+    )
 
-    out = score(params, cache_emb, cache_cat, cand_idx, his_idx)
-    float(out.ravel()[0])
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
+    def make_score(fused: bool):
+        kernel = lookup_score_fused if fused else lookup_score_reference
+
+        @jax.jit
+        def score(p, emb, cat, cand_idx, his_idx):
+            # the production serving decomposition
+            # (trainer._make_cached_scores_fn): interests from history, then
+            # fused DMA-gather + per-interest MXU scoring against the cache
+            his = jnp.take(emb, his_idx, axis=0)
+            ccat = jnp.take(cat, cand_idx, axis=0)
+            hcat = jnp.take(cat, his_idx, axis=0)
+            hmask = (hcat != 0).astype(jnp.int32)
+            variables = {"params": p}
+            bias = model.apply(variables, hcat, ccat, True,
+                               method=type(model).category_bias_from_ids)
+            interests = model.apply(variables, his, hmask, bias,
+                                    method=type(model).interests_from_history)
+            pscores = kernel(emb, cand_idx, interests)
+            cand = (jnp.take(emb, cand_idx, axis=0)
+                    if model.score_type == "weighted" else None)
+            return model.apply(variables, interests, pscores, cand,
+                               method=type(model).aggregate_matching)
+
+        return score
+
+    for fused in (False, True):
+        score = make_score(fused)
         out = score(params, cache_emb, cache_cat, cand_idx, his_idx)
-    float(out.ravel()[0])
-    dt = time.perf_counter() - t0
-    print(f"cached scoring: {n * B / dt:.0f} impressions/s "
-          f"({n * B * C / dt:.0f} candidates/s) at B={B}, C={C}, H={H}",
-          flush=True)
+        float(out.ravel()[0])
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = score(params, cache_emb, cache_cat, cand_idx, his_idx)
+        float(out.ravel()[0])
+        dt = time.perf_counter() - t0
+        tag = "fused-kernel" if fused else "xla-reference"
+        print(f"cached scoring [{tag}]: {n * B / dt:.0f} impressions/s "
+              f"({n * B * C / dt:.0f} candidates/s) at B={B}, C={C}, H={H}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,305 @@
+"""Quality-parity run: reference torch Miner vs miner_tpu on the same corpus.
+
+Real MIND cannot be fetched here (zero egress), so this trains BOTH
+implementations on the structured synthetic corpus (tools/synth_mind.py) with
+the same hyperparameters and reports AUC / MRR / nDCG@5 / nDCG@10 side by
+side, computed by the same (sklearn-validated) evaluator over the same
+held-out impressions. The evidence is the *gap* between frameworks (target:
+within run-to-run variance), plus both clearing the 0.5 chance line by a wide
+margin (the signal is learnable and learned).
+
+Usage (CPU parity table — force the CPU backend before jax imports):
+    JAX_PLATFORMS=cpu python tools/quality_run.py --out /tmp/quality
+Optional extra row with the TPU production config (bf16 + fused kernels):
+    python tools/quality_run.py --out /tmp/quality --tpu --skip-torch
+
+Writes QUALITY_r02.md at the repo root unless --report says otherwise.
+Reference pointers: training recipe src/trainer.py:119-206, model
+src/model/model.py:13-138, metrics src/evaluation.py:36-110.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# shared geometry/recipe (both frameworks)
+LT, H, NPRATIO = 16, 10, 4
+D_WORD, K, P_DIM, D_CAT = 64, 8, 32, 16
+LR, EPOCHS, BATCH = 1e-3, 3, 32
+WD, CLIP, WARMUP_RATIO = 0.01, 1.0, 0.1
+VOCAB = 2000
+SEED = 13
+
+
+def _argv(data_dir, out_dir, extra=()):
+    return [
+        "train",
+        "--model_name", "Miner",
+        "--pretrained_tokenizer", f"hash:{VOCAB}",
+        "--user2id_path", os.path.join(data_dir, "user2id.json"),
+        "--category2id_path", os.path.join(data_dir, "category2id.json"),
+        "--train_behaviors_path", os.path.join(data_dir, "behaviors.tsv"),
+        "--train_news_path", os.path.join(data_dir, "news.tsv"),
+        "--eval_behaviors_path", os.path.join(data_dir, "eval_behaviors.tsv"),
+        "--eval_news_path", os.path.join(data_dir, "news.tsv"),
+        "--max_title_length", str(LT),
+        "--max_sapo_length", "24",
+        "--his_length", str(H),
+        "--seed", str(SEED),
+        "--plm_preset", "tiny",
+        "--apply_reduce_dim",
+        "--use_sapo",
+        "--use_category_bias",
+        "--word_embed_dim", str(D_WORD),
+        "--category_embed_dim", str(D_CAT),
+        "--num_context_codes", str(K),
+        "--context_code_dim", str(P_DIM),
+        "--score_type", "weighted",
+        "--npratio", str(NPRATIO),
+        "--train_batch_size", str(BATCH),
+        "--eval_batch_size", "64",
+        "--num_train_epochs", str(EPOCHS),
+        "--learning_rate", str(LR),
+        "--warmup_ratio", str(WARMUP_RATIO),
+        "--weight_decay", str(WD),
+        "--max_grad_norm", str(CLIP),
+        "--logging_steps", "50",
+        "--metrics", "auc", "group_auc", "mrr", "ndcg@5", "ndcg@10",
+        "--train_path", os.path.join(out_dir, "train"),
+        *extra,
+    ]
+
+
+def run_ours(data_dir, out_dir, tpu: bool):
+    from miner_tpu.config import make_parser
+    from miner_tpu.training.trainer import Trainer
+
+    extra = () if tpu else ("--compute_dtype", "float32",
+                            "--no-fused_kernels")
+    args = make_parser().parse_args(_argv(data_dir, out_dir, extra))
+    t0 = time.time()
+    Trainer(args).train()
+    train_s = time.time() - t0
+    rd = sorted(glob.glob(os.path.join(out_dir, "train", "*")))[-1]
+    import csv
+
+    rows = list(csv.DictReader(open(os.path.join(rd, "eval.csv"))))
+    last = rows[-1]
+    scores = {k: float(last[k]) for k in
+              ("auc", "group_auc", "mrr", "ndcg@5", "ndcg@10") if k in last}
+    return scores, train_s
+
+
+def run_torch_reference(data_dir, reference_repo):
+    """Train the reference Miner on the same corpus with the same recipe."""
+    import numpy as np
+    import torch
+    import transformers
+    from transformers import RobertaConfig
+
+    sys.path.insert(0, reference_repo)
+    from src.loss import Loss as RefLoss
+    from src.model.model import Miner as RefMiner
+    from src.model.news_encoder import NewsEncoder as RefNewsEncoder
+
+    from miner_tpu.data import BehaviorsLog, HashTokenizer, NewsStore
+    from miner_tpu.data.batcher import Batcher
+    from miner_tpu.data.device_table import NewsTable
+    from miner_tpu.data.samplers import EvalSampler, OfflineSampler
+    from miner_tpu.evaluation.evaluator import ImpressionEvaluator
+
+    tok = HashTokenizer(vocab_size=VOCAB)
+    cat2id = json.load(open(os.path.join(data_dir, "category2id.json")))
+    user2id = json.load(open(os.path.join(data_dir, "user2id.json")))
+    store = NewsStore.from_tsv(os.path.join(data_dir, "news.tsv"), tok,
+                               cat2id, LT, 24)
+    log = BehaviorsLog.from_tsv(os.path.join(data_dir, "behaviors.tsv"),
+                                store, user2id, H)
+    eval_log = BehaviorsLog.from_tsv(
+        os.path.join(data_dir, "eval_behaviors.tsv"), store, user2id, H
+    )
+    table = NewsTable.from_store(store, use_sapo=True, device_put=False)
+    sampler = OfflineSampler(log, store, NPRATIO, seed=SEED)
+    batcher = Batcher(BATCH, drop_last=True, shuffle=True, seed=SEED)
+
+    cfg = RobertaConfig(
+        vocab_size=VOCAB, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, type_vocab_size=1, layer_norm_eps=1e-5,
+        pad_token_id=0, hidden_act="gelu",
+    )
+    torch.manual_seed(SEED)
+    enc = RefNewsEncoder(config=cfg, apply_reduce_dim=True, use_sapo=True,
+                         dropout=0.2, freeze_transformer=False,
+                         word_embed_dim=D_WORD, combine_type="linear")
+    n_cat = int(store.flat_category().max()) + 1
+    model = RefMiner(news_encoder=enc, use_category_bias=True,
+                     num_context_codes=K, context_code_dim=P_DIM,
+                     score_type="weighted", dropout=0.2, num_category=n_cat,
+                     category_embed_dim=D_CAT,
+                     category_pad_token_id=store.category_pad_id)
+    loss_obj = RefLoss(torch.nn.CrossEntropyLoss())
+
+    no_decay = ["bias", "LayerNorm.weight"]
+    groups = [
+        {"params": [p for n, p in model.named_parameters()
+                    if not any(nd in n for nd in no_decay)],
+         "weight_decay": WD},
+        {"params": [p for n, p in model.named_parameters()
+                    if any(nd in n for nd in no_decay)], "weight_decay": 0.0},
+    ]
+    steps_per_epoch = batcher.num_batches(log.num_events)
+    total = steps_per_epoch * EPOCHS
+    opt = torch.optim.AdamW(groups, lr=LR, weight_decay=WD)
+    sched = transformers.get_linear_schedule_with_warmup(
+        opt, int(total * WARMUP_RATIO), total
+    )
+
+    def torch_batch(mb_idx):
+        mb = table.lookup(mb_idx["cand_idx"], mb_idx["his_idx"])
+        return {
+            "title": torch.tensor(np.asarray(mb["cand_title"], np.int64)),
+            "title_mask": torch.tensor(
+                np.asarray(mb["cand_title_mask"], np.int64)),
+            "his_title": torch.tensor(np.asarray(mb["his_title"], np.int64)),
+            "his_title_mask": torch.tensor(
+                np.asarray(mb["his_title_mask"], np.int64)),
+            "his_mask": torch.tensor(np.asarray(mb["his_mask"], bool)),
+            "sapo": torch.tensor(np.asarray(mb["cand_sapo"], np.int64)),
+            "sapo_mask": torch.tensor(
+                np.asarray(mb["cand_sapo_mask"], np.int64)),
+            "his_sapo": torch.tensor(np.asarray(mb["his_sapo"], np.int64)),
+            "his_sapo_mask": torch.tensor(
+                np.asarray(mb["his_sapo_mask"], np.int64)),
+            "category": torch.tensor(
+                np.asarray(mb["cand_category"], np.int64)),
+            "his_category": torch.tensor(
+                np.asarray(mb["his_category"], np.int64)),
+        }
+
+    t0 = time.time()
+    model.train()
+    step = 0
+    for epoch in range(EPOCHS):
+        block = sampler.sample_epoch(epoch)
+        for batch in batcher.batches(block, epoch):
+            tb = torch_batch(batch)
+            interests, logits = model(**tb)
+            loss = loss_obj.compute(interests, logits,
+                                    torch.tensor(batch["label"]))
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), CLIP)
+            opt.step()
+            sched.step()
+            step += 1
+            if step % 50 == 0:
+                print(f"[torch] step {step}/{total} loss {float(loss):.4f}",
+                      flush=True)
+    train_s = time.time() - t0
+
+    # evaluation with OUR evaluator over the torch logits
+    model.eval()
+    evaluator = ImpressionEvaluator(eval_log.eval_targets_by_impression())
+    eb = Batcher(64, drop_last=False, shuffle=False)
+    block = EvalSampler(eval_log).sample_all()
+    with torch.no_grad():
+        for batch in eb.batches(block):
+            valid = int(batch.pop("valid"))
+            tb = torch_batch(batch)
+            _, logits = model(**tb)
+            evaluator.eval_batch(logits.numpy(), batch["impression_id"],
+                                 valid=valid)
+    scores = evaluator.compute_scores(
+        ["auc", "group_auc", "mrr", "ndcg@5", "ndcg@10"]
+    )
+    return scores, train_s
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="/tmp/quality_run")
+    ap.add_argument("--reference_repo", default="/root/reference")
+    ap.add_argument("--report", default=os.path.join(REPO, "QUALITY_r02.md"))
+    ap.add_argument("--tpu", action="store_true",
+                    help="run ours with the TPU production config "
+                         "(bf16 + fused kernels) instead of fp32 CPU parity")
+    ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--events", type=int, default=4000)
+    args = ap.parse_args()
+
+    if not args.tpu:
+        # force the CPU backend even where a sitecustomize registers a TPU
+        # plugin and overrides JAX_PLATFORMS programmatically
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from tools.synth_mind import make_synth_mind
+
+    data_dir = os.path.join(args.out, "data")
+    if not os.path.exists(os.path.join(data_dir, "behaviors.tsv")):
+        # histories >= H so no pad entries: the reference's category-bias
+        # path divides by the raw norm of the (all-zero) pad category
+        # embedding and NaNs the whole model when histories are shorter than
+        # his_length (reference: src/utils.py:21-23 + nn.Embedding
+        # padding_idx; our pairwise cosine clamps the norm instead). The
+        # reference author's filtered corpus evidently had full histories.
+        make_synth_mind(data_dir, n_train_lines=args.events,
+                        hist_len=(H, H + 4))
+        print(f"synth corpus at {data_dir}")
+
+    rows = []
+    ours, ours_s = run_ours(data_dir, os.path.join(args.out, "ours"),
+                            tpu=args.tpu)
+    label = "miner_tpu (TPU bf16+fused)" if args.tpu else "miner_tpu (fp32)"
+    rows.append((label, ours, ours_s))
+    print(label, ours)
+
+    if not args.skip_torch:
+        ref, ref_s = run_torch_reference(data_dir, args.reference_repo)
+        rows.append(("reference torch (fp32 CPU)", ref, ref_s))
+        print("reference", ref)
+
+    _append_report(args.report, rows, args)
+    print(f"report -> {args.report}")
+
+
+def _append_report(path, rows, args):
+    metrics = ["auc", "group_auc", "mrr", "ndcg@5", "ndcg@10"]
+    lines = []
+    if not os.path.exists(path):
+        lines += [
+            "# QUALITY — round 2\n",
+            "Quality parity evidence: the reference torch `Miner` and "
+            "miner_tpu's `Miner` trained on the SAME synthetic corpus "
+            "(tools/synth_mind.py — planted topical preference; real MIND "
+            "is unreachable in this zero-egress environment) with the same "
+            "recipe, scored by the same sklearn-validated evaluator on the "
+            "same held-out impressions. Chance AUC = 0.5.\n",
+            f"Corpus: {args.events} train events, 800 eval impressions, "
+            f"tiny PLM (64 hidden / 2 layers), {EPOCHS} epochs, lr {LR}, "
+            f"batch {BATCH}, npratio {NPRATIO}, history {H}.\n",
+            "| run | " + " | ".join(metrics) + " | train s |",
+            "|---|" + "---|" * (len(metrics) + 1),
+        ]
+    for label, scores, secs in rows:
+        lines.append(
+            f"| {label} | "
+            + " | ".join(f"{scores.get(m, float('nan')):.4f}" for m in metrics)
+            + f" | {secs:.0f} |"
+        )
+    with open(path, "a") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
