@@ -178,16 +178,30 @@ class PretrainSampler:
 
     def sample_epoch(self, epoch: int) -> SampleBlock:
         rng = np.random.default_rng((self.seed, epoch))
-        E = self.log.num_events
+        log = self.log
+        E = log.num_events
         N = self.store.num_news
         V = self.store.num_variants
         C = self.num_candidates
 
         cand = np.zeros((E, C), dtype=np.int64)
-        for e in range(E):
-            pos = int(self.log.pos_row[e])
-            cand[e, :V] = np.arange(V) * N + pos  # vanilla + all augmentations
-            cand[e, V:] = _sample_negatives(self.log.negatives(e), self.npratio, rng)
+        # vanilla + all augmentation variants of the positive
+        cand[:, :V] = (np.arange(V)[None, :] * N
+                       + log.pos_row[:E, None].astype(np.int64))
+        # npratio negatives per event without replacement, vectorized over
+        # the ragged pools: random keys sorted within each event's segment,
+        # first npratio kept (exactly the uniform k-subset marginal of the
+        # per-event rng.choice loop; short pools keep all + pad 0)
+        counts = np.diff(log.neg_offsets).astype(np.int64)
+        total = int(counts.sum())
+        if total:
+            seg = np.repeat(np.arange(E), counts)
+            order = np.lexsort((rng.random(total), seg))
+            pos_in_seg = np.arange(total) - np.repeat(log.neg_offsets[:-1],
+                                                      counts)
+            take = pos_in_seg < self.npratio
+            cand[seg[order][take], V + pos_in_seg[take]] = \
+                log.neg_flat[order][take]
 
         return SampleBlock(
             cand=cand.astype(np.int32),

@@ -161,6 +161,19 @@ def test_pretrain_sampler(log, store):
     np.testing.assert_array_equal(block.cand[:, 0] // N, 0)
     np.testing.assert_array_equal(block.cand[:, 1] % N, log.pos_row)
     np.testing.assert_array_equal(block.cand[:, 1] // N, 1)
+    # negatives (vectorized segmented sampling): distinct, drawn from the
+    # event's own pool (or pad 0 when the pool is short), deterministic
+    for e in range(log.num_events):
+        negs = set(log.negatives(e).tolist())
+        picked = block.cand[e, V:]
+        real = picked[picked != 0]
+        assert len(set(real.tolist())) == len(real), "negatives repeat"
+        assert set(real.tolist()) <= negs
+        expect_real = min(len(negs), 3)
+        assert (picked != 0).sum() == expect_real
+    b2 = s.sample_epoch(0)
+    np.testing.assert_array_equal(block.cand, b2.cand)
+    assert not np.array_equal(block.cand, s.sample_epoch(1).cand)
 
 
 def test_eval_sampler(log):
