@@ -87,6 +87,12 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize PLM layers to save HBM")
+    p.add_argument("--scan_layers", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="lax.scan over PLM layers: compiles one layer body "
+                        "instead of unrolling the stack (much faster "
+                        "compiles for large programs; params stack under "
+                        "'layers')")
     p.add_argument("--plm_preset", type=str, default="tiny",
                    choices=["roberta_base", "bert_base", "tiny", "small"],
                    help="PLM tower architecture preset")
@@ -222,7 +228,8 @@ def add_eval_arguments(p: argparse.ArgumentParser):
 
 def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = False,
                gelu_approx: Optional[bool] = None, attn_fp32: Optional[bool] = None,
-               fused_attention: Optional[bool] = None, mesh=None):
+               fused_attention: Optional[bool] = None, mesh=None,
+               scan_layers: bool = False):
     from miner_tpu.models.plm import PLMConfig
     import dataclasses as dc
 
@@ -257,4 +264,6 @@ def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = Fals
         # multi-device fused kernels: the PLM wraps its Pallas kernels in
         # jax.shard_map over this mesh's data axis (models/plm.py)
         cfg = dc.replace(cfg, mesh=mesh)
+    if scan_layers:
+        cfg = dc.replace(cfg, scan_layers=True)
     return cfg

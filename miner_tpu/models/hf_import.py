@@ -109,6 +109,25 @@ def convert_plm_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
     return params
 
 
+def stack_layer_params(plm_params: Dict) -> Dict:
+    """Per-layer PLM params ({layer_i: subtree}) -> the scan layout
+    ({layers: {layer: (num_layers, ...)-stacked leaves}}) used when
+    ``PLMConfig.scan_layers`` is on. Inverse-free: only needed when loading
+    unrolled checkpoints into a scanned tower."""
+    n = sum(1 for k in plm_params if k.startswith("layer_"))
+
+    def stack(trees):
+        if isinstance(trees[0], dict):
+            return {k: stack([t[k] for t in trees]) for k in trees[0]}
+        return np.stack([np.asarray(t) for t in trees])
+
+    out = {k: v for k, v in plm_params.items() if not k.startswith("layer_")}
+    out["layers"] = {
+        "layer": stack([plm_params[f"layer_{i}"] for i in range(n)])
+    }
+    return out
+
+
 def convert_miner_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
     """Reference-format MINER torch state dict -> our full Miner param tree.
 
@@ -296,8 +315,14 @@ def load_into_params(params, checkpoint_dir: str, plm_prefix: str):
     sub = params
     for k in keys:
         sub = sub[k]
-    num_layers = sum(1 for k in sub if k.startswith("layer_"))
-    new_plm = convert_plm_params(checkpoint_dir, num_layers)
+    if "layers" in sub:  # scan layout: leaves carry a leading layer axis
+        num_layers = jax.tree_util.tree_leaves(sub["layers"])[0].shape[0]
+        new_plm = stack_layer_params(
+            convert_plm_params(checkpoint_dir, num_layers)
+        )
+    else:
+        num_layers = sum(1 for k in sub if k.startswith("layer_"))
+        new_plm = convert_plm_params(checkpoint_dir, num_layers)
 
     # Shape-check against the existing tree, then graft.
     old_leaves = jax.tree_util.tree_leaves_with_path(sub)

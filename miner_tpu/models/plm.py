@@ -69,6 +69,13 @@ class PLMConfig:
     # rather than via process-global state, so two models with different
     # meshes can coexist in one process.
     mesh: Optional[Any] = None
+    # lax.scan over the layer stack: XLA compiles ONE layer body instead of
+    # unrolling num_layers copies — large programs (big batch + remat)
+    # compile in a fraction of the time. Parameters stack to (num_layers,
+    # ...) under 'layers'; use hf_import.stack_layer_params to convert
+    # per-layer checkpoints. Numerically identical to the unrolled stack
+    # (tests/test_models.py::test_scan_layers_matches_unrolled).
+    scan_layers: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -322,6 +329,22 @@ class TransformerLayer(nn.Module):
         return x
 
 
+class _LayerScanBody(nn.Module):
+    """One scan step over the layer stack: carry = hidden states."""
+
+    cfg: PLMConfig
+    layer_cls: Any  # TransformerLayer, possibly nn.remat-wrapped (static)
+    deterministic: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias):
+        y = self.layer_cls(self.cfg, dtype=self.dtype, name="layer")(
+            x, attn_bias, self.deterministic
+        )
+        return y, None
+
+
 class Embeddings(nn.Module):
     cfg: PLMConfig
     dtype: Dtype = jnp.float32
@@ -398,6 +421,16 @@ class TransformerPLM(nn.Module):
                     "attn_ctx")
             layer_cls = nn.remat(TransformerLayer, static_argnums=(3,),
                                  policy=policy)
+        if cfg.scan_layers:
+            scanned = nn.scan(
+                _LayerScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast,
+                length=cfg.num_layers,
+            )(cfg, layer_cls, deterministic, dtype=self.dtype, name="layers")
+            x, _ = scanned(x, attn_bias)
+            return x
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
                 x, attn_bias, deterministic

@@ -182,7 +182,8 @@ class Trainer:
                          remat=a.remat, gelu_approx=gelu_approx,
                          attn_fp32=getattr(a, "attn_fp32", True),
                          fused_attention=use_fused,
-                         mesh=self.mesh if self.n_devices > 1 else None)
+                         mesh=self.mesh if self.n_devices > 1 else None,
+                         scan_layers=getattr(a, "scan_layers", False))
         if self.model_name in ("miner", "pretrain"):
             encoder = NewsEncoder(
                 plm_cfg=plm,

@@ -302,3 +302,64 @@ def test_unbert_mean_attention_modes(rng):
     w2 = np.asarray(model._segment_weights(batch2, L))
     assert not w2[0, 3].any()
     assert w2[0, 2, 11:].all()
+
+
+def test_scan_layers_matches_unrolled(rng):
+    """lax.scan over the layer stack must be numerically identical to the
+    unrolled loop (same params via hf_import.stack_layer_params), forward
+    and gradients."""
+    import dataclasses as dc
+
+    import jax
+
+    from miner_tpu.models.hf_import import stack_layer_params
+    from miner_tpu.models.plm import PLMConfig, TransformerPLM
+
+    cfg = PLMConfig.tiny()
+    B, L = 4, 16
+    ids = jnp.asarray(rng.integers(1, 500, size=(B, L)).astype(np.int32))
+    mask = jnp.ones((B, L), jnp.int32)
+
+    plm_u = TransformerPLM(cfg)
+    params_u = plm_u.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    params_s = jax.tree_util.tree_map(
+        jnp.asarray, stack_layer_params(params_u)
+    )
+    plm_s = TransformerPLM(dc.replace(cfg, scan_layers=True))
+    # structure check against a scanned init
+    init_s = plm_s.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    assert jax.tree_util.tree_structure(init_s) == \
+        jax.tree_util.tree_structure(params_s)
+
+    out_u = plm_u.apply({"params": params_u}, ids, mask)
+    out_s = plm_s.apply({"params": params_s}, ids, mask)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_u(p):
+        return jnp.sum(plm_u.apply({"params": p}, ids, mask) ** 2)
+
+    def loss_s(p):
+        return jnp.sum(plm_s.apply({"params": p}, ids, mask) ** 2)
+
+    g_u = jax.grad(loss_u)(params_u)
+    g_s = jax.grad(loss_s)(params_s)
+    g_u_stacked = stack_layer_params(
+        jax.tree_util.tree_map(np.asarray, g_u)
+    )
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_s),
+        jax.tree_util.tree_leaves_with_path(
+            jax.tree_util.tree_map(jnp.asarray, g_u_stacked)),
+    ):
+        # scan reorders the fp32 backward accumulation; tolerate
+        # reduction-order noise only
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-2, atol=5e-5,
+            err_msg=jax.tree_util.keystr(pa))
+
+    # remat + scan compose
+    plm_sr = TransformerPLM(dc.replace(cfg, scan_layers=True, remat=True))
+    out_sr = plm_sr.apply({"params": params_s}, ids, mask)
+    np.testing.assert_allclose(np.asarray(out_sr), np.asarray(out_u),
+                               rtol=1e-5, atol=1e-6)
