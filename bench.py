@@ -130,6 +130,115 @@ def bench_unbert_eval(n_steps: int = 10):
     return (n_steps * B) / dt / jax.device_count()
 
 
+class _SynthLog:
+    """Lightweight behaviors-log stand-in for the real-pipeline bench:
+    the exact fields the samplers consume, at MIND-like scale."""
+
+    def __init__(self, rng, num_events: int, n_news: int, H: int,
+                 negs_per_event: int = 30):
+        self.num_events = num_events
+        self.pos_row = rng.integers(1, n_news, size=num_events).astype(np.int32)
+        self.neg_flat = rng.integers(
+            1, n_news, size=num_events * negs_per_event).astype(np.int32)
+        self.neg_offsets = (np.arange(num_events + 1)
+                            * negs_per_event).astype(np.int32)
+        self.history = rng.integers(
+            1, n_news, size=(num_events, H)).astype(np.int32)
+        self.hist_ptr = np.arange(num_events, dtype=np.int32)
+        self.impression_id = np.arange(num_events, dtype=np.int32)
+
+    def negatives(self, e: int):
+        return self.neg_flat[self.neg_offsets[e]:self.neg_offsets[e + 1]]
+
+
+class _SynthStore:
+    def __init__(self, n_news: int):
+        self.num_news = n_news
+        self.num_variants = 1
+
+
+def bench_miner_train_real_pipeline(n_steps: int = 30):
+    """Miner train ex/s with the REAL data plane in the loop: per-epoch
+    native C++ sampling + Batcher + host->device transfer + device-table
+    token gather inside the jitted step — shows whether the host stays off
+    the critical path (the hot-loop bench feeds one resident batch)."""
+
+    from __graft_entry__ import _build_miner
+    from miner_tpu.data.batcher import Batcher
+    from miner_tpu.data.device_table import NewsTable
+    from miner_tpu.data.samplers import OnlineSampler
+    from miner_tpu.training import losses
+    from miner_tpu.training.optim import make_optimizer
+    from miner_tpu.training.train_state import TrainState
+
+    B, C, H, Lt, Ls = 16, 5, 50, 32, 128
+    vocab, n_cat, n_news = 30522, 32, 20000
+    rng = np.random.default_rng(0)
+
+    log = _SynthLog(rng, num_events=max(2048, (n_steps + 2) * B), n_news=n_news,
+                    H=H)
+    store = _SynthStore(n_news)
+    sampler = OnlineSampler(log, store, npratio=C - 1, seed=0)
+    table = NewsTable(
+        title=jnp.asarray(rng.integers(4, vocab, size=(n_news, Lt)).astype(np.int32)),
+        sapo=jnp.asarray(rng.integers(4, vocab, size=(n_news, Ls)).astype(np.int32)),
+        category=jnp.asarray(rng.integers(1, n_cat, size=(n_news,)).astype(np.int32)),
+        pad_token_id=0,
+        category_pad_id=0,
+    )
+    model = _build_miner(plm_preset="roberta_base", vocab=vocab, n_cat=n_cat,
+                         dtype=jnp.bfloat16, remat=True, use_fused=True,
+                         gelu_approx=True)
+    batcher = Batcher(B, drop_last=True, shuffle=True, seed=0)
+    block = sampler.sample_epoch(0)
+    ex_batch = next(batcher.batches(block))
+
+    def as_model_batch(batch):
+        return table.lookup(jnp.asarray(batch["cand_idx"]),
+                            jnp.asarray(batch["his_idx"]))
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        as_model_batch(ex_batch),
+    )["params"]
+    tx = make_optimizer(params, learning_rate=2e-5, total_steps=1000,
+                        warmup_steps=100, accum_steps=1)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(2))
+
+    @jax.jit
+    def train_step(state, cand_idx, his_idx, label):
+        rngs = {"dropout": jax.random.fold_in(state.rng, state.step)}
+        batch = table.lookup(cand_idx, his_idx)
+
+        def loss_fn(p):
+            interests, logits = model.apply(
+                {"params": p}, batch, deterministic=False, rngs=rngs
+            )
+            return losses.miner_loss(interests, logits, label)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    it = batcher.batches(block, 0)
+    b0 = next(it)
+    state, loss = train_step(
+        state, jnp.asarray(b0["cand_idx"]), jnp.asarray(b0["his_idx"]),
+        jnp.asarray(b0["label"]))
+    _sync(loss)
+    t0 = time.perf_counter()
+    done = 0
+    for batch in it:
+        state, loss = train_step(
+            state, jnp.asarray(batch["cand_idx"]),
+            jnp.asarray(batch["his_idx"]), jnp.asarray(batch["label"]))
+        done += 1
+        if done >= n_steps:
+            break
+    _sync(loss)
+    dt = time.perf_counter() - t0
+    return (done * B) / dt / jax.device_count()
+
+
 def bench_miner_train(n_steps: int = 10):
     from __graft_entry__ import _build_miner, _synthetic_batch
     from miner_tpu.training import losses
@@ -187,6 +296,13 @@ def main():
 
     eval_cps = bench_unbert_eval()
     train_eps = bench_miner_train()
+    try:
+        pipeline_eps = bench_miner_train_real_pipeline()
+    except Exception as e:  # the headline must survive a pipeline-leg failure
+        import sys
+
+        print(f"real-pipeline bench failed: {e}", file=sys.stderr)
+        pipeline_eps = None
     B = 16
     tflops_per_step = miner_train_model_flops(B=B) / 1e12
     tflops_per_sec = train_eps / B * tflops_per_step
@@ -198,6 +314,11 @@ def main():
         "baseline_source": "UnBERT eval ~0.92 batch/s x 32 on the "
                            "reference GPU (helper_val.ipynb cell 287)",
     }
+    if pipeline_eps is not None:
+        # same step fed through sampler + Batcher + H2D each step: the gap
+        # vs the hot-loop number is the host data plane's cost
+        details["miner_train_real_pipeline_examples_per_sec"] = round(
+            pipeline_eps, 2)
     if peak is not None:
         # model FLOPs only (no remat recompute credit)
         details["mfu"] = round(tflops_per_sec / peak, 4)

@@ -39,7 +39,7 @@ def _topic_vocab(t: int, words_per_topic: int = 40):
 def make_synth_mind(root: str, n_news: int = 1200, n_users: int = 300,
                     n_train_lines: int = 4000, n_eval_lines: int = 800,
                     n_topics: int = 8, hist_len: tuple = (6, 12),
-                    n_neg: tuple = (4, 8), label_noise: float = 0.1,
+                    n_neg: tuple = (6, 9), label_noise: float = 0.1,
                     seed: int = 11) -> str:
     assert n_topics <= len(TOPICS)
     rng = np.random.default_rng(seed)
@@ -93,6 +93,14 @@ def make_synth_mind(root: str, n_news: int = 1200, n_users: int = 300,
                     [np.ones(n_pos, int), np.zeros(k_neg, int)]
                 )
                 flip = rng.random(len(labels)) < label_noise
+                # keep >= 5 negatives after noise: the reference's
+                # category-bias path NaNs on pad candidates (zero-norm pad
+                # category embedding, src/utils.py:21-23), which appear
+                # whenever an impression has fewer than npratio negatives
+                neg_flips = np.flatnonzero(flip & (labels == 0))
+                excess = len(neg_flips) - max(0, k_neg - 5)
+                if excess > 0:
+                    flip[rng.choice(neg_flips, size=excess, replace=False)] = False
                 labels = np.where(flip, 1 - labels, labels)
                 if labels.sum() == 0:
                     labels[0] = 1
