@@ -16,7 +16,8 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 
-def run_one(B, remat, attn_fp32, use_fused, steps=8, gelu_approx=False):
+def run_one(B, remat, attn_fp32, use_fused, steps=8, gelu_approx=False,
+            scan_layers=False):
     from __graft_entry__ import _build_miner, _synthetic_batch
     from miner_tpu.config import plm_config
     from miner_tpu.models import Miner, NewsEncoder
@@ -30,7 +31,7 @@ def run_one(B, remat, attn_fp32, use_fused, steps=8, gelu_approx=False):
 
     plm = plm_config("roberta_base", vocab_size=vocab, remat=remat,
                      attn_fp32=attn_fp32, gelu_approx=gelu_approx,
-                     fused_attention=use_fused)
+                     fused_attention=use_fused, scan_layers=scan_layers)
     encoder = NewsEncoder(
         plm_cfg=plm, apply_reduce_dim=True, word_embed_dim=256,
         use_sapo=True, combine_type="linear", dropout=0.2, dtype=jnp.bfloat16,
@@ -77,7 +78,7 @@ def run_one(B, remat, attn_fp32, use_fused, steps=8, gelu_approx=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=str, default=None,
-                    help="semicolon list: B,remat,attn_fp32,fused[,gelu] (1/0)")
+                    help="semicolon list: B,remat,attn_fp32,fused[,gelu[,scan]] (1/0)")
     ap.add_argument("--rbg", action="store_true",
                     help="use the TPU hardware rbg PRNG for dropout masks")
     args = ap.parse_args()
@@ -90,17 +91,22 @@ def main():
         parts = [int(x) for x in c.split(",")]
         b, r, a, f = parts[:4]
         g = parts[4] if len(parts) > 4 else 0
-        cfgs.append((b, bool(r), bool(a), bool(f), bool(g)))
-    for (B, remat, attn_fp32, fused, gelu) in cfgs:
+        sc = parts[5] if len(parts) > 5 else 0
+        cfgs.append((b, bool(r), bool(a), bool(f), bool(g), bool(sc)))
+    for (B, remat, attn_fp32, fused, gelu, scan) in cfgs:
         try:
-            ms, eps = run_one(B, remat, attn_fp32, fused, gelu_approx=gelu)
+            t0 = time.perf_counter()
+            ms, eps = run_one(B, remat, attn_fp32, fused, gelu_approx=gelu,
+                              scan_layers=scan)
+            total = time.perf_counter() - t0
             print(f"B={B:3d} remat={int(remat)} attn_fp32={int(attn_fp32)} "
-                  f"fused={int(fused)} gelu~={int(gelu)} rbg={int(args.rbg)}  "
-                  f"step={ms:8.1f}ms  {eps:7.2f} ex/s", flush=True)
+                  f"fused={int(fused)} gelu~={int(gelu)} scan={int(scan)} "
+                  f"rbg={int(args.rbg)}  step={ms:8.1f}ms  {eps:7.2f} ex/s  "
+                  f"(compile+run {total:.0f}s)", flush=True)
         except Exception as e:  # OOM etc.
             print(f"B={B:3d} remat={int(remat)} attn_fp32={int(attn_fp32)} "
-                  f"fused={int(fused)} gelu~={int(gelu)}  FAILED: "
-                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                  f"fused={int(fused)} gelu~={int(gelu)} scan={int(scan)}  "
+                  f"FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

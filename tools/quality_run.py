@@ -78,12 +78,14 @@ def _argv(data_dir, out_dir, extra=()):
     ]
 
 
-def run_ours(data_dir, out_dir, tpu: bool):
+def run_ours(data_dir, out_dir, tpu: bool, init_ckpt=None):
     from miner_tpu.config import make_parser
     from miner_tpu.training.trainer import Trainer
 
     extra = () if tpu else ("--compute_dtype", "float32",
                             "--no-fused_kernels")
+    if init_ckpt:
+        extra = extra + ("--pretrained_model_path", init_ckpt)
     args = make_parser().parse_args(_argv(data_dir, out_dir, extra))
     t0 = time.time()
     Trainer(args).train()
@@ -98,23 +100,19 @@ def run_ours(data_dir, out_dir, tpu: bool):
     return scores, train_s
 
 
-def run_torch_reference(data_dir, reference_repo):
-    """Train the reference Miner on the same corpus with the same recipe."""
-    import numpy as np
+def _build_torch_stack(data_dir, reference_repo):
+    """The reference Miner + our data stack, deterministically seeded."""
     import torch
-    import transformers
     from transformers import RobertaConfig
 
     sys.path.insert(0, reference_repo)
-    from src.loss import Loss as RefLoss
     from src.model.model import Miner as RefMiner
     from src.model.news_encoder import NewsEncoder as RefNewsEncoder
 
     from miner_tpu.data import BehaviorsLog, HashTokenizer, NewsStore
     from miner_tpu.data.batcher import Batcher
     from miner_tpu.data.device_table import NewsTable
-    from miner_tpu.data.samplers import EvalSampler, OfflineSampler
-    from miner_tpu.evaluation.evaluator import ImpressionEvaluator
+    from miner_tpu.data.samplers import OfflineSampler
 
     tok = HashTokenizer(vocab_size=VOCAB)
     cat2id = json.load(open(os.path.join(data_dir, "category2id.json")))
@@ -146,6 +144,51 @@ def run_torch_reference(data_dir, reference_repo):
                      score_type="weighted", dropout=0.2, num_category=n_cat,
                      category_embed_dim=D_CAT,
                      category_pad_token_id=store.category_pad_id)
+    return model, log, eval_log, table, sampler, batcher
+
+
+def export_torch_init(data_dir, reference_repo, out_dir) -> str:
+    """Convert the (freshly seeded) torch model's init weights into an orbax
+    checkpoint our Trainer warm-starts from — shared-init parity mode."""
+    import numpy as np
+
+    from miner_tpu.models.hf_import import convert_miner_state_dict
+    from miner_tpu.training.checkpoint import CheckpointManager
+
+    model, *_ = _build_torch_stack(data_dir, reference_repo)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_miner_state_dict(sd, num_layers=2)
+    emb = params["news_encoder"]["plm"]["embeddings"]
+    # our tiny preset's tables are larger (256 positions / 2 token types);
+    # pad with fresh zeros — the extra rows are never indexed at L<=24
+    for key, rows in (("position_embeddings", 256),
+                      ("token_type_embeddings", 2)):
+        t = emb[key]["embedding"]
+        if t.shape[0] < rows:
+            emb[key]["embedding"] = np.concatenate(
+                [t, np.zeros((rows - t.shape[0], t.shape[1]), t.dtype)]
+            )
+    ckpt = CheckpointManager(out_dir)
+    ckpt.save("torchInit", {"params": params})
+    ckpt.wait()
+    return os.path.join(out_dir, "torchInit")
+
+
+def run_torch_reference(data_dir, reference_repo):
+    """Train the reference Miner on the same corpus with the same recipe."""
+    import numpy as np
+    import torch
+    import transformers
+
+    from miner_tpu.data.batcher import Batcher
+    from miner_tpu.data.samplers import EvalSampler
+    from miner_tpu.evaluation.evaluator import ImpressionEvaluator
+
+    model, log, eval_log, table, sampler, batcher = _build_torch_stack(
+        data_dir, reference_repo
+    )
+    from src.loss import Loss as RefLoss
+
     loss_obj = RefLoss(torch.nn.CrossEntropyLoss())
 
     no_decay = ["bias", "LayerNorm.weight"]
@@ -233,6 +276,11 @@ def main():
                     help="run ours with the TPU production config "
                          "(bf16 + fused kernels) instead of fp32 CPU parity")
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--shared_init", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="initialize miner_tpu from the torch model's exact "
+                         "init weights (isolates the training substrate "
+                         "from init-seed luck)")
     ap.add_argument("--events", type=int, default=4000)
     args = ap.parse_args()
 
@@ -258,9 +306,16 @@ def main():
         print(f"synth corpus at {data_dir}")
 
     rows = []
+    init_ckpt = None
+    if args.shared_init and not args.skip_torch:
+        init_ckpt = export_torch_init(data_dir, args.reference_repo,
+                                      os.path.join(args.out, "init"))
+        print(f"shared torch init -> {init_ckpt}")
     ours, ours_s = run_ours(data_dir, os.path.join(args.out, "ours"),
-                            tpu=args.tpu)
+                            tpu=args.tpu, init_ckpt=init_ckpt)
     label = "miner_tpu (TPU bf16+fused)" if args.tpu else "miner_tpu (fp32)"
+    if init_ckpt:
+        label += " shared-init"
     rows.append((label, ours, ours_s))
     print(label, ours)
 
