@@ -307,7 +307,9 @@ def main():
 
     rows = []
     init_ckpt = None
-    if args.shared_init and not args.skip_torch:
+    if args.shared_init:
+        # building (not training) the torch model is cheap; works with
+        # --skip-torch so TPU rows stay init-comparable
         init_ckpt = export_torch_init(data_dir, args.reference_repo,
                                       os.path.join(args.out, "init"))
         print(f"shared torch init -> {init_ckpt}")
