@@ -90,7 +90,14 @@ def bench_unbert_eval(n_steps: int = 10):
 
     B, L, S = 64, 300, 21
     vocab = 30522
-    cfg = plm_config("bert_base", vocab_size=vocab, gelu_approx=True)
+    # production trainer config on TPU: fused Pallas MHA (L=300 zero-padded
+    # to the 384 lane multiple in-kernel) + bf16 softmax — measured fastest
+    # of {fused, attn_fp32} x {64, 128} (tools/bench_unbert_variants.py:
+    # 1788 vs 1489 cand/s for the unfused fp32-softmax XLA path)
+    from miner_tpu.ops.common import on_tpu
+
+    cfg = plm_config("bert_base", vocab_size=vocab, gelu_approx=True,
+                     attn_fp32=False, fused_attention=on_tpu())
     import dataclasses as dc
     cfg = dc.replace(cfg, type_vocab_size=2)
     model = UNBert(cfg=cfg, num_news_layers=cfg.num_layers, news_mode="nseg",

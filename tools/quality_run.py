@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # shared geometry/recipe (both frameworks)
 LT, H, NPRATIO = 16, 10, 4
 D_WORD, K, P_DIM, D_CAT = 64, 8, 32, 16
-LR, EPOCHS, BATCH = 1e-3, 3, 32
+LR, EPOCHS, BATCH = 5e-4, 4, 32
 WD, CLIP, WARMUP_RATIO = 0.01, 1.0, 0.1
 VOCAB = 2000
 SEED = 13
@@ -78,7 +78,7 @@ def _argv(data_dir, out_dir, extra=()):
     ]
 
 
-def run_ours(data_dir, out_dir, tpu: bool, init_ckpt=None):
+def run_ours(data_dir, out_dir, tpu: bool, init_ckpt=None, seed=None):
     from miner_tpu.config import make_parser
     from miner_tpu.training.trainer import Trainer
 
@@ -86,6 +86,10 @@ def run_ours(data_dir, out_dir, tpu: bool, init_ckpt=None):
                             "--no-fused_kernels")
     if init_ckpt:
         extra = extra + ("--pretrained_model_path", init_ckpt)
+    if seed is not None:
+        # vary data order + dropout streams while keeping the shared init:
+        # the honest run-to-run variance band
+        extra = extra + ("--seed", str(seed))
     args = make_parser().parse_args(_argv(data_dir, out_dir, extra))
     t0 = time.time()
     Trainer(args).train()
@@ -100,8 +104,11 @@ def run_ours(data_dir, out_dir, tpu: bool, init_ckpt=None):
     return scores, train_s
 
 
-def _build_torch_stack(data_dir, reference_repo):
-    """The reference Miner + our data stack, deterministically seeded."""
+def _build_torch_stack(data_dir, reference_repo, stream_seed=None):
+    """The reference Miner + our data stack. Init is ALWAYS seeded with the
+    module SEED (shared-init protocol); ``stream_seed`` varies only the
+    sampler/batcher order and the post-init torch RNG (dropout streams) for
+    variance-band rows."""
     import torch
     from transformers import RobertaConfig
 
@@ -125,8 +132,9 @@ def _build_torch_stack(data_dir, reference_repo):
         os.path.join(data_dir, "eval_behaviors.tsv"), store, user2id, H
     )
     table = NewsTable.from_store(store, use_sapo=True, device_put=False)
-    sampler = OfflineSampler(log, store, NPRATIO, seed=SEED)
-    batcher = Batcher(BATCH, drop_last=True, shuffle=True, seed=SEED)
+    run_seed = SEED if stream_seed is None else stream_seed
+    sampler = OfflineSampler(log, store, NPRATIO, seed=run_seed)
+    batcher = Batcher(BATCH, drop_last=True, shuffle=True, seed=run_seed)
 
     cfg = RobertaConfig(
         vocab_size=VOCAB, hidden_size=64, num_hidden_layers=2,
@@ -144,6 +152,7 @@ def _build_torch_stack(data_dir, reference_repo):
                      score_type="weighted", dropout=0.2, num_category=n_cat,
                      category_embed_dim=D_CAT,
                      category_pad_token_id=store.category_pad_id)
+    torch.manual_seed(run_seed + 1000)  # dropout stream; init above is fixed
     return model, log, eval_log, table, sampler, batcher
 
 
@@ -174,7 +183,7 @@ def export_torch_init(data_dir, reference_repo, out_dir) -> str:
     return os.path.join(out_dir, "torchInit")
 
 
-def run_torch_reference(data_dir, reference_repo):
+def run_torch_reference(data_dir, reference_repo, stream_seed=None):
     """Train the reference Miner on the same corpus with the same recipe."""
     import numpy as np
     import torch
@@ -185,7 +194,7 @@ def run_torch_reference(data_dir, reference_repo):
     from miner_tpu.evaluation.evaluator import ImpressionEvaluator
 
     model, log, eval_log, table, sampler, batcher = _build_torch_stack(
-        data_dir, reference_repo
+        data_dir, reference_repo, stream_seed=stream_seed
     )
     from src.loss import Loss as RefLoss
 
@@ -276,6 +285,8 @@ def main():
                     help="run ours with the TPU production config "
                          "(bf16 + fused kernels) instead of fp32 CPU parity")
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--train_seed", type=int, default=None,
+                    help="override the trainer seed for a variance-band row")
     ap.add_argument("--shared_init", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="initialize miner_tpu from the torch model's exact "
@@ -314,17 +325,24 @@ def main():
                                       os.path.join(args.out, "init"))
         print(f"shared torch init -> {init_ckpt}")
     ours, ours_s = run_ours(data_dir, os.path.join(args.out, "ours"),
-                            tpu=args.tpu, init_ckpt=init_ckpt)
+                            tpu=args.tpu, init_ckpt=init_ckpt,
+                            seed=args.train_seed)
     label = "miner_tpu (TPU bf16+fused)" if args.tpu else "miner_tpu (fp32)"
     if init_ckpt:
         label += " shared-init"
+    if args.train_seed is not None:
+        label += f" seed={args.train_seed}"
     rows.append((label, ours, ours_s))
     print(label, ours)
 
     if not args.skip_torch:
-        ref, ref_s = run_torch_reference(data_dir, args.reference_repo)
-        rows.append(("reference torch (fp32 CPU)", ref, ref_s))
-        print("reference", ref)
+        ref, ref_s = run_torch_reference(data_dir, args.reference_repo,
+                                         stream_seed=args.train_seed)
+        tlabel = "reference torch (fp32 CPU)"
+        if args.train_seed is not None:
+            tlabel += f" seed={args.train_seed}"
+        rows.append((tlabel, ref, ref_s))
+        print(tlabel, ref)
 
     _append_report(args.report, rows, args)
     print(f"report -> {args.report}")
