@@ -33,39 +33,56 @@ def lookup_score_reference(
     return jnp.einsum("bcd,bkd->bck", cand, interests.astype(cand.dtype))
 
 
+_GROUP = 8  # candidate rows per DMA group (sublane-aligned output stores)
+
+
 def _lookup_kernel(idx_ref, interests_ref, cache_ref, out_ref, rows, sem):
     # cache_ref is (N, 1, D) so a single-row gather DMA slices only the
     # untiled leading dim (HBM tiling applies to the trailing (1, D) dims).
+    # Candidates are processed in groups of 8: Mosaic requires output
+    # vector stores at sublane offsets provably divisible by 8 (a per-row
+    # dynamic store does not compile on hardware), and the (8, D) x (K, D)^T
+    # group matmul uses the MXU far better than row-at-a-time anyway.
     b = pl.program_id(0)
-    C = out_ref.shape[0]
+    C = out_ref.shape[0]  # padded to a multiple of _GROUP by the caller
+    G = C // _GROUP
 
-    def get_dma(slot, c):
+    # rows is (2 * _GROUP, 1, D): slot/group indexing stays on the untiled
+    # leading dim (slicing inside the tiled (1, D) pair does not compile)
+    def get_dma(slot, g, j):
         return pltpu.make_async_copy(
-            cache_ref.at[idx_ref[b, c]],
-            rows.at[slot],
-            sem.at[slot],
+            cache_ref.at[idx_ref[b, g * _GROUP + j]],
+            rows.at[slot * _GROUP + j],
+            sem.at[slot, j],
         )
 
-    get_dma(0, 0).start()
+    def start_group(slot, g):
+        for j in range(_GROUP):
+            get_dma(slot, g, j).start()
 
-    def body(c, _):
-        slot = c % 2
+    start_group(0, 0)
 
-        @pl.when(c + 1 < C)
+    def body(g, _):
+        slot = g % 2
+
+        @pl.when(g + 1 < G)
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            start_group((g + 1) % 2, g + 1)
 
-        get_dma(slot, c).wait()
-        # score row c against all K interests: (1, D) x (K, D)^T
-        out_ref[c, :] = jax.lax.dot_general(
-            rows[slot],
+        for j in range(_GROUP):
+            get_dma(slot, g, j).wait()
+        group = rows[pl.ds(slot * _GROUP, _GROUP)].reshape(
+            _GROUP, rows.shape[-1])
+        scores = jax.lax.dot_general(
+            group,
             interests_ref[:],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[0].astype(out_ref.dtype)
+        )
+        out_ref[pl.ds(g * _GROUP, _GROUP), :] = scores.astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, C, body, 0)
+    jax.lax.fori_loop(0, G, body, 0)
 
 
 def _lookup_pallas(cache, cand_idx, interests, interpret):
@@ -73,7 +90,11 @@ def _lookup_pallas(cache, cand_idx, interests, interpret):
     K, D = interests.shape[1], interests.shape[2]
     N = cache.shape[0]
     cache3 = cache.reshape(N, 1, D)
-    # Per-row stores slice the lane dim: pad K up to the 128-lane tile.
+    # Pad C to the DMA-group size (extra rows re-gather row 0, sliced off)
+    # and K up to the 128-lane tile.
+    C_pad = -(-C // _GROUP) * _GROUP
+    if C_pad != C:
+        cand_idx = jnp.pad(cand_idx, ((0, 0), (0, C_pad - C)))
     K_pad = max(128, -(-K // 128) * 128)
     if K_pad != K:
         interests = jnp.pad(interests, ((0, 0), (0, K_pad - K), (0, 0)))
@@ -85,11 +106,11 @@ def _lookup_pallas(cache, cand_idx, interests, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # cache stays off-chip
         ],
-        out_specs=pl.BlockSpec((1, C, K_pad), lambda b, idx: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, C_pad, K_pad), lambda b, idx: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, D), cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2 * _GROUP, 1, D), cache.dtype),
+            pltpu.SemaphoreType.DMA((2, _GROUP)),
         ],
     )
 
@@ -101,11 +122,11 @@ def _lookup_pallas(cache, cand_idx, interests, interpret):
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, C, K_pad), interests.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C_pad, K_pad), interests.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(cand_idx, interests, cache3)
-    return out[:, :, :K]
+    return out[:, :C, :K]
 
 
 def lookup_score_available(dim: int) -> bool:
