@@ -137,5 +137,13 @@ def lookup_score_available(dim: int) -> bool:
 
 def lookup_score_fused(cache, cand_idx, interests, interpret: bool = False):
     if (interpret or on_tpu()) and lookup_score_available(cache.shape[1]):
-        return _lookup_pallas(cache, cand_idx, interests, interpret)
+        # f32 through the kernel: Mosaic cannot tile the (1, D) per-row
+        # VMEM slices for 16-bit types (sublane tile 2 > slice), the MXU
+        # accumulates in f32 regardless, and caches are small (N x D)
+        out_dtype = interests.dtype
+        out = _lookup_pallas(
+            cache.astype(jnp.float32), cand_idx,
+            interests.astype(jnp.float32), interpret,
+        )
+        return out.astype(out_dtype)
     return lookup_score_reference(cache, cand_idx, interests)
