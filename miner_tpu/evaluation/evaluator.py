@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from collections import defaultdict
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -59,14 +58,31 @@ class FastEvaluator:
 
 
 class ImpressionEvaluator:
-    """Eval over per-candidate rows grouped by impression id."""
+    """Eval over per-candidate rows grouped by impression id.
+
+    Accumulation and grouping are bulk numpy (array chunks + one stable
+    argsort at scoring time) — no per-row Python, so MIND-large eval sets
+    (millions of candidate rows) stay off the host's critical path.
+    """
 
     def __init__(self, targets_by_impression: Dict[int, List[int]]):
         # Sorted by impression id, matching the reference's sorted() grouping.
         self._sorted_ids = sorted(targets_by_impression)
         self.targets: List[List[int]] = [targets_by_impression[i] for i in self._sorted_ids]
-        self.prob_predictions: List[float] = []
-        self.impression_ids: List[int] = []
+        self._prob_chunks: List[np.ndarray] = []
+        self._id_chunks: List[np.ndarray] = []
+
+    @property
+    def prob_predictions(self) -> List[float]:
+        if not self._prob_chunks:
+            return []
+        return np.concatenate(self._prob_chunks).tolist()
+
+    @property
+    def impression_ids(self) -> List[int]:
+        if not self._id_chunks:
+            return []
+        return np.concatenate(self._id_chunks).tolist()
 
     def eval_batch(self, logits: np.ndarray, impression_ids: np.ndarray,
                    valid: int | None = None):
@@ -75,14 +91,20 @@ class ImpressionEvaluator:
         if valid is not None:
             logits = logits[:valid]
             impression_ids = impression_ids[:valid]
-        self.prob_predictions.extend(_sigmoid(logits).tolist())
-        self.impression_ids.extend(impression_ids.tolist())
+        self._prob_chunks.append(_sigmoid(logits))
+        self._id_chunks.append(impression_ids.astype(np.int64))
 
     def _grouped_predictions(self) -> List[List[float]]:
-        groups: Dict[int, List[float]] = defaultdict(list)
-        for prob, imp_id in zip(self.prob_predictions, self.impression_ids):
-            groups[int(imp_id)].append(float(prob))
-        return [groups[i] for i in sorted(groups)]
+        if not self._prob_chunks:
+            return []
+        probs = np.concatenate(self._prob_chunks)
+        ids = np.concatenate(self._id_chunks)
+        # stable sort by impression id keeps within-impression batch order
+        # (the reference's dict-append order)
+        order = np.argsort(ids, kind="stable")
+        ids, probs = ids[order], probs[order]
+        boundaries = np.flatnonzero(np.diff(ids)) + 1
+        return [g.tolist() for g in np.split(probs, boundaries)]
 
     def compute_scores(self, metrics: Sequence[str], save_result: bool = False,
                        path: str | None = None) -> Dict[str, float]:
