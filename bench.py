@@ -300,6 +300,9 @@ def main():
     # training/trainer.py:_configure_prng)
     if jax.default_backend() not in ("cpu", "gpu"):
         jax.config.update("jax_default_prng_impl", "rbg")
+    from miner_tpu.config import configure_compilation_cache
+
+    configure_compilation_cache()
 
     eval_cps = bench_unbert_eval()
     train_eps = bench_miner_train()

@@ -26,9 +26,11 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    from miner_tpu.config import configure_compilation_cache
     from miner_tpu.parallel.mesh import maybe_initialize_distributed
     from miner_tpu.training.trainer import Trainer
 
+    configure_compilation_cache(getattr(args, "compilation_cache_dir", None))
     maybe_initialize_distributed()
 
     if args.mode in ("train", "train_fastformer"):

@@ -117,6 +117,9 @@ def _add_common(p: argparse.ArgumentParser):
                    default=None,
                    help="tanh-approximate gelu (default: auto — on for bf16 "
                         "compute, off for fp32)")
+    p.add_argument("--compilation_cache_dir", type=str, default=None,
+                   help="persistent XLA compilation cache dir ('none' to "
+                        "disable; default ~/.cache/miner_tpu_xla)")
     p.add_argument("--rng_impl", type=str, default=None,
                    choices=["threefry2x32", "rbg"],
                    help="JAX PRNG implementation (default: rbg on TPU — "
@@ -224,6 +227,28 @@ def add_eval_arguments(p: argparse.ArgumentParser):
     p.add_argument("--dropout", type=float, default=0.2)
     p.add_argument("--npratio", type=int, default=4)
     p.add_argument("--pretrained_embedding", type=str, default=None)
+
+
+def configure_compilation_cache(path: Optional[str] = None) -> Optional[str]:
+    """Enable JAX's persistent compilation cache.
+
+    On backends with slow (remote) compilation this is a large win: the
+    canonical Miner train step costs ~990s to compile cold and ~295s total
+    on a cache hit (measured on the v5e remote-compile tunnel).  ``path``
+    "none" disables; default honors $JAX_COMPILATION_CACHE_DIR then
+    ~/.cache/miner_tpu_xla.
+    """
+    import os
+
+    import jax
+
+    if path == "none":
+        return None
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.expanduser("~/.cache/miner_tpu_xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path
 
 
 def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = False,
