@@ -82,6 +82,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="devices on the data-parallel mesh axis (-1: all)")
     p.add_argument("--mesh_table", type=int, default=1,
                    help="devices on the news-table mesh axis")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="devices on the tensor-parallel axis (Megatron-style "
+                        "PLM weight sharding; see parallel/tp.py)")
     p.add_argument("--param_dtype", type=str, default="float32")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])

@@ -1,10 +1,13 @@
 """Device mesh construction.
 
-The framework uses a 2-D logical mesh:
+The framework uses a 3-D logical mesh:
 
   * ``data``  — batch (data-parallel) axis; the user towers and PLM bulk
     compute shard here; gradients are combined by XLA's reduce-scatter /
     all-reduce over ICI.
+  * ``model`` — tensor-parallel axis (optional, default 1): PLM weight
+    matrices shard Megatron-style (see ``miner_tpu.parallel.tp``); XLA's
+    SPMD partitioner inserts the activation collectives.
   * ``table`` — news-embedding-table axis; the inference cache rows shard
     here (see ``miner_tpu.parallel.news_cache``).
 
@@ -24,31 +27,35 @@ import jax
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 TABLE_AXIS = "table"
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    data: int = -1  # -1: all devices on the data axis
+    data: int = -1  # -1: all remaining devices on the data axis
     table: int = 1
+    model: int = 1
 
-    def resolve(self, n_devices: int) -> tuple[int, int]:
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
         table = max(1, self.table)
-        data = self.data if self.data > 0 else n_devices // table
-        if data * table != n_devices:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else n_devices // (table * model)
+        if data * model * table != n_devices:
             raise ValueError(
-                f"mesh {data}x{table} does not cover {n_devices} devices"
+                f"mesh {data}x{model}x{table} does not cover "
+                f"{n_devices} devices"
             )
-        return data, table
+        return data, model, table
 
 
 def make_mesh(
     cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    data, table = cfg.resolve(len(devices))
-    arr = np.asarray(devices).reshape(data, table)
-    return Mesh(arr, (DATA_AXIS, TABLE_AXIS))
+    data, model, table = cfg.resolve(len(devices))
+    arr = np.asarray(devices).reshape(data, model, table)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, TABLE_AXIS))
 
 
 def maybe_initialize_distributed():

@@ -96,7 +96,10 @@ class Trainer:
             self.user2id = json.load(f)
         with open(args.category2id_path) as f:
             self.category2id = json.load(f)
-        self.mesh = make_mesh(MeshConfig(args.mesh_data, args.mesh_table))
+        self.mesh = make_mesh(MeshConfig(
+            args.mesh_data, args.mesh_table,
+            getattr(args, "mesh_model", 1),
+        ))
         self.compute_dtype = _dtype(args.compute_dtype)
         self.n_devices = self.mesh.devices.size
         _configure_prng(getattr(args, "rng_impl", None))
@@ -160,6 +163,12 @@ class Trainer:
 
     # ----------------------------------------------------------------- model
     def _use_fused(self) -> bool:
+        from miner_tpu.parallel.mesh import MODEL_AXIS
+
+        if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+            # the fused kernels are data-parallel shard_map wrappers; under
+            # tensor parallelism the XLA paths partition with the weights
+            return False
         if self.args.fused_kernels is not None:
             # explicit opt-in also covers multi-device meshes: the kernels
             # are wrapped in jax.shard_map over the data axis (see
@@ -458,8 +467,18 @@ class Trainer:
                 lambda old, new: jnp.asarray(new, old.dtype), params,
                 payload["params"],
             )
+        from miner_tpu.parallel.mesh import MODEL_AXIS
+
+        tp = self.mesh.shape.get(MODEL_AXIS, 1) > 1
+        if tp:
+            # tensor parallelism: place PLM weights Megatron-style BEFORE
+            # optimizer init so the Adam moments inherit the same shardings
+            from miner_tpu.parallel.tp import shard_params
+
+            params = shard_params(params, self.mesh)
         state = TrainState.create(params, tx, jax.random.PRNGKey(a.seed + 1))
-        state = replicate_tree(self.mesh, state)
+        if not tp:
+            state = replicate_tree(self.mesh, state)
 
         ckpt = CheckpointManager(os.path.join(logger.run_dir, "ckpt"))
         if getattr(a, "resume_from", None):
