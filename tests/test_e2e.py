@@ -320,3 +320,42 @@ def test_gradient_accumulation(fixture_dir, tmp_path):
     micro = int(state.step)
     opt_steps = int(ms.gradient_step)
     assert opt_steps == micro // 2
+
+
+def test_recommend_fastformer(fixture_dir, tmp_path):
+    """Serving path for the vanilla (single-user-vector) model kind."""
+    args_t = _train_args(fixture_dir, str(tmp_path))
+    args_t.model_name = "fastformer"
+    args_t.num_train_epochs = 1
+    Trainer(args_t).train()
+    rd = glob.glob(os.path.join(str(tmp_path), "train", "*"))[0]
+
+    argv = [
+        "recommend",
+        "--model_name", "fastformer",
+        "--pretrained_tokenizer", "hash:1000",
+        "--user2id_path", os.path.join(fixture_dir, "user2id.json"),
+        "--category2id_path", os.path.join(fixture_dir, "category2id.json"),
+        "--eval_news_path", os.path.join(fixture_dir, "news.tsv"),
+        "--saved_model_path", os.path.join(rd, "ckpt", "finalModel"),
+        "--max_title_length", "16",
+        "--max_sapo_length", "24",
+        "--his_length", "5",
+        "--plm_preset", "tiny",
+        "--apply_reduce_dim", "--use_sapo", "--use_category_bias",
+        "--word_embed_dim", "32",
+        "--category_embed_dim", "8",
+        "--num_context_codes", "4",
+        "--context_code_dim", "16",
+        "--compute_dtype", "float32",
+        "--metrics", "auc",
+        "--user_history", "N1", "N3",
+        "--topk", "3",
+    ]
+    from miner_tpu.config import make_parser
+
+    results = Trainer(make_parser().parse_args(argv)).recommend()
+    assert len(results) == 3
+    scores = [s for _, s in results]
+    assert scores == sorted(scores, reverse=True)
+    assert np.isfinite(scores).all()
