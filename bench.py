@@ -246,6 +246,98 @@ def bench_miner_train_real_pipeline(n_steps: int = 30):
     return (done * B) / dt / jax.device_count()
 
 
+def bench_miner_train_cached_his(n_steps: int = 30, refresh_every: int = 500):
+    """Miner train ex/s with cached-history training (--his_cache_refresh):
+    only the C=5 candidates go through the PLM per step; the H=50 history
+    rows are gathered from the news-embedding cache. Also measures one cache
+    refresh (a fwd pass over the 20k-news corpus with the live params) and
+    reports the K=refresh_every amortized number."""
+    from __graft_entry__ import _build_miner
+    from miner_tpu.data.device_table import NewsTable
+    from miner_tpu.parallel.news_cache import build_cache
+    from miner_tpu.training import losses
+    from miner_tpu.training.optim import make_optimizer
+    from miner_tpu.training.train_state import TrainState
+
+    B, C, H, Lt, Ls = 16, 5, 50, 32, 128
+    vocab, n_cat, n_news = 30522, 32, 20000
+    rng = np.random.default_rng(0)
+    table = NewsTable(
+        title=jnp.asarray(rng.integers(4, vocab, size=(n_news, Lt)).astype(np.int32)),
+        sapo=jnp.asarray(rng.integers(4, vocab, size=(n_news, Ls)).astype(np.int32)),
+        category=jnp.asarray(rng.integers(1, n_cat, size=(n_news,)).astype(np.int32)),
+        pad_token_id=0,
+        category_pad_id=0,
+    )
+    # no remat: candidate-only activations are ~11x smaller, they fit HBM
+    model = _build_miner(plm_preset="roberta_base", vocab=vocab, n_cat=n_cat,
+                         dtype=jnp.bfloat16, remat=False, use_fused=True,
+                         gelu_approx=True)
+    cand_idx = jnp.asarray(rng.integers(1, n_news, size=(B, C)).astype(np.int32))
+    his_idx = jnp.asarray(rng.integers(1, n_news, size=(B, H)).astype(np.int32))
+    label = jnp.asarray(np.eye(C, dtype=np.float32)[rng.integers(0, C, size=B)])
+
+    def encode(p, title, tmask, sapo, smask):
+        return model.apply({"params": p}, title, tmask, sapo, smask,
+                           deterministic=True,
+                           method=type(model).encode_news)
+
+    encode = jax.jit(encode)
+    mb = table.lookup(cand_idx, his_idx)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, mb
+    )["params"]
+    tx = make_optimizer(params, learning_rate=2e-5, total_steps=1000,
+                        warmup_steps=100, accum_steps=1)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(2))
+
+    cache = build_cache(encode, table, batch_size=512, params=state.params)
+    t0 = time.perf_counter()
+    cache = build_cache(encode, table, batch_size=512, params=state.params)
+    _sync(cache.embeddings)
+    refresh_s = time.perf_counter() - t0
+
+    @jax.jit
+    def train_step(state, cand_idx, his_idx, label, cache_emb):
+        rngs = {"dropout": jax.random.fold_in(state.rng, state.step)}
+
+        def loss_fn(p):
+            cand = table.lookup_candidates(cand_idx)
+            flat = lambda x: x.reshape((B * C,) + x.shape[2:])
+            cand_repr = model.apply(
+                {"params": p}, flat(cand["cand_title"]),
+                flat(cand["cand_title_mask"]), flat(cand["cand_sapo"]),
+                flat(cand["cand_sapo_mask"]), deterministic=False, rngs=rngs,
+                method=type(model).encode_news,
+            ).reshape(B, C, -1)
+            his_repr = jax.lax.stop_gradient(
+                jnp.take(cache_emb, his_idx, axis=0)).astype(cand_repr.dtype)
+            his_cat = jnp.take(table.category, his_idx, axis=0)
+            interests, logits = model.apply(
+                {"params": p}, cand_repr, his_repr,
+                jnp.take(table.category, cand_idx, axis=0), his_cat,
+                (his_cat != 0).astype(jnp.int32), deterministic=False,
+                rngs=rngs, method=type(model).tail,
+            )
+            return losses.miner_loss(interests, logits, label)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    state, loss = train_step(state, cand_idx, his_idx, label, cache.embeddings)
+    _sync(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = train_step(state, cand_idx, his_idx, label,
+                                 cache.embeddings)
+    _sync(loss)
+    dt = time.perf_counter() - t0
+    steady = (n_steps * B) / dt / jax.device_count()
+    step_s = dt / n_steps
+    amortized = B / (step_s + refresh_s / refresh_every) / jax.device_count()
+    return steady, amortized, refresh_s
+
+
 def bench_miner_train(n_steps: int = 10):
     from __graft_entry__ import _build_miner, _synthetic_batch
     from miner_tpu.training import losses
@@ -313,6 +405,13 @@ def main():
 
         print(f"real-pipeline bench failed: {e}", file=sys.stderr)
         pipeline_eps = None
+    try:
+        cached_his = bench_miner_train_cached_his()
+    except Exception as e:
+        import sys
+
+        print(f"cached-history bench failed: {e}", file=sys.stderr)
+        cached_his = None
     B = 16
     tflops_per_step = miner_train_model_flops(B=B) / 1e12
     tflops_per_sec = train_eps / B * tflops_per_step
@@ -329,6 +428,13 @@ def main():
         # vs the hot-loop number is the host data plane's cost
         details["miner_train_real_pipeline_examples_per_sec"] = round(
             pipeline_eps, 2)
+    if cached_his is not None:
+        steady, amortized, refresh_s = cached_his
+        # --his_cache_refresh: candidates-only PLM, history from the cache
+        details["miner_train_cached_his_examples_per_sec"] = round(steady, 2)
+        details["miner_train_cached_his_amortized_k500"] = round(amortized, 2)
+        details["miner_train_cached_his_refresh_sec_20k_news"] = round(
+            refresh_s, 2)
     if peak is not None:
         # model FLOPs only (no remat recompute credit)
         details["mfu"] = round(tflops_per_sec / peak, 4)

@@ -107,6 +107,14 @@ def _add_common(p: argparse.ArgumentParser):
                    default=True,
                    help="evaluate from the news-embedding cache (one PLM pass "
                         "over the corpus instead of per-impression re-encoding)")
+    p.add_argument("--his_cache_refresh", type=int, default=0,
+                   help="train with history encodings from the news-embedding "
+                        "cache, rebuilt from the live parameters every K "
+                        "steps (0: off — encode history with the PLM every "
+                        "step like the reference). Candidates always go "
+                        "through the full PLM with gradients; history rows "
+                        "are stop-gradient'd. ~90%% fewer news-tower FLOPs "
+                        "at C=5/H=50; quality A/B in SCALE_r02.md")
     p.add_argument("--fused_kernels", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="use Pallas fused kernels (default: auto — on for TPU "

@@ -73,22 +73,31 @@ class NewsEmbeddingCache:
 
 
 def build_cache(
-    encode_fn: Callable[[jax.Array, jax.Array, jax.Array, jax.Array], jax.Array],
+    encode_fn: Callable[..., jax.Array],
     table: NewsTable,
     batch_size: int = 512,
     mesh: Optional[Mesh] = None,
+    params=None,
 ) -> NewsEmbeddingCache:
     """Run ``encode_fn(title, title_mask, sapo, sapo_mask) -> (B, D)`` over the
     whole news table in fixed-size jitted batches.
 
     The corpus is padded up to a multiple of ``batch_size`` (extra rows reuse
     row 0 = the pad news) so every call sees one static shape.
+
+    When ``params`` is given, ``encode_fn`` must take ``(params, title,
+    title_mask, sapo, sapo_mask)`` and is used as-is (the caller jits it ONCE
+    and reuses it across rebuilds — rebuilding from updated parameters, e.g.
+    the cached-history refresh during training, must not retrace).
     """
     R = table.title.shape[0]
     padded = round_up(R, batch_size)
     n_batches = padded // batch_size
 
-    encode = jax.jit(encode_fn)
+    if params is not None:
+        encode = lambda *a: encode_fn(params, *a)
+    else:
+        encode = jax.jit(encode_fn)
     chunks = []
     for b in range(n_batches):
         start = b * batch_size

@@ -374,6 +374,64 @@ class Trainer:
 
         return jax.jit(train_step, donate_argnums=(0,))
 
+    def _make_cached_his_train_step(self, model, kind: str, table: NewsTable):
+        """Training with history encodings served from the news-embedding
+        cache (``--his_cache_refresh K``).
+
+        Per step only the C candidates go through the PLM (with dropout and
+        gradients); the H history rows — ~90% of the news-tower FLOPs at the
+        canonical C=5/H=50 geometry — are gathered from a cache rebuilt from
+        the current parameters every K optimizer steps and are
+        ``stop_gradient``'d.  A TPU-native production accelerator with no
+        reference counterpart (the reference re-encodes history every step,
+        src/model/model.py:96-107): the PLM still learns through the
+        candidate tower, the user encoder learns over at-most-K-steps-stale
+        history representations.  Quality impact measured in SCALE_r02.md.
+        """
+        cat_pad = table.category_pad_id
+
+        def train_step(state: TrainState, batch, cache_emb):
+            rng = jax.random.fold_in(state.rng, state.step)
+            d_rng, g_rng = jax.random.split(rng)
+            rngs = {"dropout": d_rng, "gating": g_rng}
+
+            def loss_fn(params):
+                variables = {"params": params}
+                cand = table.lookup_candidates(batch["cand_idx"])
+                B, C = batch["cand_idx"].shape
+
+                def flat(x):
+                    return x.reshape((B * C,) + x.shape[2:])
+
+                sapo = smask = None
+                if "cand_sapo" in cand:  # table carries sapo iff the model uses it
+                    sapo, smask = flat(cand["cand_sapo"]), flat(cand["cand_sapo_mask"])
+                cand_repr = model.apply(
+                    variables, flat(cand["cand_title"]),
+                    flat(cand["cand_title_mask"]), sapo, smask,
+                    deterministic=False, rngs=rngs,
+                    method=type(model).encode_news,
+                ).reshape(B, C, -1)
+                his_repr = jax.lax.stop_gradient(
+                    jnp.take(cache_emb, batch["his_idx"], axis=0)
+                ).astype(cand_repr.dtype)
+                his_cat = jnp.take(table.category, batch["his_idx"], axis=0)
+                his_mask = (his_cat != cat_pad).astype(jnp.int32)
+                out = model.apply(
+                    variables, cand_repr, his_repr, cand["cand_category"],
+                    his_cat, his_mask, deterministic=False, rngs=rngs,
+                    method=type(model).tail,
+                )
+                if kind == "miner":
+                    interests, logits = out
+                    return losses.miner_loss(interests, logits, batch["label"])
+                return losses.vanilla_loss(out, batch["label"])
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads), loss
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
     def _make_eval_step(self, model, kind: str, table: NewsTable):
         def eval_step(params, batch, valid):
             # mask padded tail-batch rows out of the loss (the logits are
@@ -499,7 +557,15 @@ class Trainer:
         # state.step, fixing the reference-era epoch-flooring drift).
         start_epoch = min(int(state.step) // steps_per_epoch, a.num_train_epochs)
         skip_batches = int(state.step) % steps_per_epoch
-        train_step = self._make_train_step(model, kind, table)
+        his_cache_k = int(getattr(a, "his_cache_refresh", 0) or 0)
+        use_his_cache = his_cache_k > 0 and self._supports_cached_eval(kind)
+        if his_cache_k > 0 and not use_his_cache:
+            log.warning("--his_cache_refresh ignored for model kind %r", kind)
+        if use_his_cache:
+            train_step = self._make_cached_his_train_step(model, kind, table)
+            his_cache = None
+        else:
+            train_step = self._make_train_step(model, kind, table)
         eval_step = self._make_eval_step(model, kind, eval_table)
         cached_ctx = (
             (model, kind, eval_table)
@@ -520,7 +586,14 @@ class Trainer:
                 dev_batch = shard_batch(self.mesh, {
                     k: v for k, v in batch.items() if k != "valid"
                 })
-                state, loss = train_step(state, dev_batch)
+                if use_his_cache:
+                    if his_cache is None or global_step % his_cache_k == 0:
+                        his_cache = self._build_eval_cache(
+                            model, state.params, table
+                        ).embeddings
+                    state, loss = train_step(state, dev_batch, his_cache)
+                else:
+                    state, loss = train_step(state, dev_batch)
                 global_step += 1
                 ex_counter += a.train_batch_size
                 epoch_losses.append(loss)
@@ -696,17 +769,26 @@ class Trainer:
 
         return jax.jit(eval_step, out_shardings=self._eval_out_shardings())
 
+    def _cache_encoder(self, model):
+        """The params-taking news encoder for cache builds, jitted ONCE per
+        Trainer — cache rebuilds from updated parameters (eval cadence, the
+        cached-history refresh) must not retrace."""
+        if getattr(self, "_cache_encode_jit", None) is None:
+            def encode(params, title, tmask, sapo, smask):
+                return model.apply(
+                    {"params": params}, title, tmask, sapo, smask,
+                    deterministic=True, method=type(model).encode_news,
+                )
+
+            self._cache_encode_jit = jax.jit(encode)
+        return self._cache_encode_jit
+
     def _build_eval_cache(self, model, params, table: NewsTable):
         from miner_tpu.parallel.news_cache import build_cache
 
-        def encode(title, tmask, sapo, smask):
-            return model.apply(
-                {"params": params}, title, tmask, sapo, smask,
-                deterministic=True, method=type(model).encode_news,
-            )
-
         mesh = self.mesh if self.mesh.devices.size > 1 else None
-        return build_cache(encode, table, batch_size=512, mesh=mesh)
+        return build_cache(self._cache_encoder(model), table, batch_size=512,
+                           mesh=mesh, params=params)
 
     def _run_eval(self, eval_step, params, eval_log: BehaviorsLog,
                   logger: RunLogger, epoch: int, step: int,
