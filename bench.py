@@ -254,7 +254,7 @@ def bench_miner_train_cached_his(n_steps: int = 30, refresh_every: int = 500):
     reports the K=refresh_every amortized number."""
     from __graft_entry__ import _build_miner
     from miner_tpu.data.device_table import NewsTable
-    from miner_tpu.parallel.news_cache import build_cache
+    from miner_tpu.parallel.news_cache import CacheFiller
     from miner_tpu.training import losses
     from miner_tpu.training.optim import make_optimizer
     from miner_tpu.training.train_state import TrainState
@@ -282,7 +282,6 @@ def bench_miner_train_cached_his(n_steps: int = 30, refresh_every: int = 500):
                            deterministic=True,
                            method=type(model).encode_news)
 
-    encode = jax.jit(encode)
     mb = table.lookup(cand_idx, his_idx)
     params = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, mb
@@ -291,9 +290,11 @@ def bench_miner_train_cached_his(n_steps: int = 30, refresh_every: int = 500):
                         warmup_steps=100, accum_steps=1)
     state = TrainState.create(params, tx, jax.random.PRNGKey(2))
 
-    cache = build_cache(encode, table, batch_size=512, params=state.params)
+    filler = CacheFiller(encode, batch_size=512)
+    cache = filler.fill(state.params, table)
+    _sync(cache.embeddings)
     t0 = time.perf_counter()
-    cache = build_cache(encode, table, batch_size=512, params=state.params)
+    cache = filler.fill(state.params, table)
     _sync(cache.embeddings)
     refresh_s = time.perf_counter() - t0
 

@@ -72,6 +72,69 @@ class NewsEmbeddingCache:
         return jnp.einsum("bcd,bkd->bck", cand, interests.astype(cand.dtype))
 
 
+class CacheFiller:
+    """One-dispatch corpus fill: the whole news table is encoded inside a
+    single jitted ``lax.scan`` over fixed-size chunks.
+
+    ``build_cache`` dispatches each chunk's gather/mask/encode as separate
+    eager ops — fine on a local backend, but through the axon remote-execution
+    tunnel every eager dispatch pays a round trip (measured: ~990s for a 20k
+    x roberta-base fill that is ~8s of FLOPs).  Constructing the filler once
+    and calling ``fill(params, table)`` per refresh keeps it at ONE remote
+    call, and rebuilds from updated parameters reuse the same compiled
+    program.
+    """
+
+    def __init__(self, encode_fn: Callable[..., jax.Array],
+                 batch_size: int = 512):
+        self.encode_fn = encode_fn  # (params, title, tmask, sapo, smask)
+        self.batch_size = batch_size
+        self._fill_jit = jax.jit(self._fill)
+
+    def _fill(self, params, title, sapo, pad_token_id):
+        R = title.shape[0]
+        bs = self.batch_size
+        n_batches = round_up(R, bs) // bs
+        starts = jnp.arange(n_batches, dtype=jnp.int32) * bs
+
+        def body(_, start):
+            idx = start + jnp.arange(bs, dtype=jnp.int32)
+            idx = jnp.where(idx < R, idx, 0)
+            t = jnp.take(title, idx, axis=0)
+            tm = (t != pad_token_id).astype(jnp.int32)
+            if sapo is not None:
+                s = jnp.take(sapo, idx, axis=0)
+                sm = (s != pad_token_id).astype(jnp.int32)
+            else:
+                s = sm = None
+            return None, self.encode_fn(params, t, tm, s, sm)
+
+        _, embs = jax.lax.scan(body, None, starts)
+        return embs.reshape(n_batches * bs, -1)[:R]
+
+    def fill(self, params, table: NewsTable,
+             mesh: Optional[Mesh] = None) -> NewsEmbeddingCache:
+        emb = self._fill_jit(params, table.title, table.sapo,
+                             jnp.int32(table.pad_token_id))
+        category = table.category
+        if mesh is not None and mesh.shape.get(TABLE_AXIS, 1) > 1:
+            R = emb.shape[0]
+            shards = mesh.shape[TABLE_AXIS]
+            R_pad = round_up(R, shards)
+            if R_pad != R:
+                emb = jnp.pad(emb, ((0, R_pad - R), (0, 0)))
+                category = jnp.pad(category, (0, R_pad - R))
+            emb = jax.device_put(emb, NamedSharding(mesh, P(TABLE_AXIS, None)))
+            category = jax.device_put(
+                category, NamedSharding(mesh, P(TABLE_AXIS)))
+        return NewsEmbeddingCache(
+            embeddings=emb,
+            category=category,
+            category_pad_id=table.category_pad_id,
+            mesh=mesh,
+        )
+
+
 def build_cache(
     encode_fn: Callable[..., jax.Array],
     table: NewsTable,

@@ -769,26 +769,26 @@ class Trainer:
 
         return jax.jit(eval_step, out_shardings=self._eval_out_shardings())
 
-    def _cache_encoder(self, model):
-        """The params-taking news encoder for cache builds, jitted ONCE per
-        Trainer — cache rebuilds from updated parameters (eval cadence, the
-        cached-history refresh) must not retrace."""
-        if getattr(self, "_cache_encode_jit", None) is None:
+    def _cache_filler(self, model):
+        """The corpus cache filler, constructed (and its scan jitted) ONCE
+        per Trainer — cache rebuilds from updated parameters (eval cadence,
+        the cached-history refresh) are a single remote dispatch each and
+        never retrace."""
+        if getattr(self, "_cache_filler_obj", None) is None:
+            from miner_tpu.parallel.news_cache import CacheFiller
+
             def encode(params, title, tmask, sapo, smask):
                 return model.apply(
                     {"params": params}, title, tmask, sapo, smask,
                     deterministic=True, method=type(model).encode_news,
                 )
 
-            self._cache_encode_jit = jax.jit(encode)
-        return self._cache_encode_jit
+            self._cache_filler_obj = CacheFiller(encode, batch_size=512)
+        return self._cache_filler_obj
 
     def _build_eval_cache(self, model, params, table: NewsTable):
-        from miner_tpu.parallel.news_cache import build_cache
-
         mesh = self.mesh if self.mesh.devices.size > 1 else None
-        return build_cache(self._cache_encoder(model), table, batch_size=512,
-                           mesh=mesh, params=params)
+        return self._cache_filler(model).fill(params, table, mesh=mesh)
 
     def _run_eval(self, eval_step, params, eval_log: BehaviorsLog,
                   logger: RunLogger, epoch: int, step: int,

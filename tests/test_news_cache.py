@@ -144,3 +144,27 @@ def test_fused_model_matches_unfused(setup):
     np.testing.assert_allclose(
         np.asarray(fused_scores), np.asarray(base_scores), atol=1e-4
     )
+
+
+def test_cache_filler_matches_build_cache(setup):
+    """The one-dispatch lax.scan filler produces the same cache as the
+    per-chunk build_cache path, including the non-divisible tail."""
+    from miner_tpu.parallel.news_cache import CacheFiller
+
+    store, log, table, model, params, block = setup
+
+    def encode(p, title, tmask, sapo, smask):
+        return model.apply({"params": p}, title, tmask, sapo, smask,
+                           deterministic=True, method=Miner.encode_news)
+
+    filler = CacheFiller(encode, batch_size=8)
+    scanned = filler.fill(params, table)
+    legacy = build_cache(_encode_fn(model, params), table, batch_size=8)
+    np.testing.assert_allclose(np.asarray(scanned.embeddings),
+                               np.asarray(legacy.embeddings), atol=1e-5)
+    # a refresh with different params must change the cache (no stale jit
+    # capture) and must reuse the same compiled program (same shapes)
+    params2 = jax.tree_util.tree_map(lambda x: x * 1.01, params)
+    refreshed = filler.fill(params2, table)
+    assert not np.allclose(np.asarray(refreshed.embeddings),
+                           np.asarray(scanned.embeddings))
