@@ -115,6 +115,12 @@ def _add_common(p: argparse.ArgumentParser):
                         "through the full PLM with gradients; history rows "
                         "are stop-gradient'd. ~90%% fewer news-tower FLOPs "
                         "at C=5/H=50; quality A/B in SCALE_r02.md")
+    p.add_argument("--his_cache_warmup_steps", type=int, default=0,
+                   help="with --his_cache_refresh: train the first N steps "
+                        "with full history encoding (gradients through "
+                        "history) before switching to the cache — from "
+                        "scratch the candidate tower otherwise aligns to "
+                        "frozen random interests and never learns semantics")
     p.add_argument("--fused_kernels", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="use Pallas fused kernels (default: auto — on for TPU "

@@ -561,9 +561,12 @@ class Trainer:
         use_his_cache = his_cache_k > 0 and self._supports_cached_eval(kind)
         if his_cache_k > 0 and not use_his_cache:
             log.warning("--his_cache_refresh ignored for model kind %r", kind)
+        his_cache_warmup = int(getattr(a, "his_cache_warmup_steps", 0) or 0)
         if use_his_cache:
-            train_step = self._make_cached_his_train_step(model, kind, table)
+            cached_step = self._make_cached_his_train_step(model, kind, table)
             his_cache = None
+            train_step = (self._make_train_step(model, kind, table)
+                          if his_cache_warmup > 0 else None)
         else:
             train_step = self._make_train_step(model, kind, table)
         eval_step = self._make_eval_step(model, kind, eval_table)
@@ -586,12 +589,12 @@ class Trainer:
                 dev_batch = shard_batch(self.mesh, {
                     k: v for k, v in batch.items() if k != "valid"
                 })
-                if use_his_cache:
+                if use_his_cache and global_step >= his_cache_warmup:
                     if his_cache is None or global_step % his_cache_k == 0:
                         his_cache = self._build_eval_cache(
                             model, state.params, table
                         ).embeddings
-                    state, loss = train_step(state, dev_batch, his_cache)
+                    state, loss = cached_step(state, dev_batch, his_cache)
                 else:
                     state, loss = train_step(state, dev_batch)
                 global_step += 1

@@ -136,3 +136,13 @@ def test_cached_his_fastformer_smoke(fixture_dir, tmp_path):
     args.num_train_epochs = 1
     state = Trainer(args).train()
     assert int(state.step) > 0
+
+
+def test_cached_his_warmup_switch(fixture_dir, tmp_path):
+    """--his_cache_warmup_steps: full-history steps first, then the cached
+    path; both programs execute in one run."""
+    args = _train_args(fixture_dir, str(tmp_path),
+                       extra=["--his_cache_refresh", "2",
+                              "--his_cache_warmup_steps", "5"])
+    state = Trainer(args).train()
+    assert int(state.step) == 20  # 2 epochs x 10 steps, both phases ran
