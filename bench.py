@@ -246,7 +246,8 @@ def bench_miner_train_real_pipeline(n_steps: int = 30):
     return (done * B) / dt / jax.device_count()
 
 
-def bench_miner_train_cached_his(n_steps: int = 30, refresh_every: int = 500):
+def bench_miner_train_cached_his(n_steps: int = 30, refresh_every: int = 500,
+                                 B: int = 16):
     """Miner train ex/s with cached-history training (--his_cache_refresh):
     only the C=5 candidates go through the PLM per step; the H=50 history
     rows are gathered from the news-embedding cache. Also measures one cache
@@ -259,7 +260,7 @@ def bench_miner_train_cached_his(n_steps: int = 30, refresh_every: int = 500):
     from miner_tpu.training.optim import make_optimizer
     from miner_tpu.training.train_state import TrainState
 
-    B, C, H, Lt, Ls = 16, 5, 50, 32, 128
+    C, H, Lt, Ls = 5, 50, 32, 128
     vocab, n_cat, n_news = 30522, 32, 20000
     rng = np.random.default_rng(0)
     table = NewsTable(

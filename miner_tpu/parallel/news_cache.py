@@ -89,7 +89,10 @@ class CacheFiller:
                  batch_size: int = 512):
         self.encode_fn = encode_fn  # (params, title, tmask, sapo, smask)
         self.batch_size = batch_size
-        self._fill_jit = jax.jit(self._fill)
+        # pad_token_id is static: it never changes for a table, and a
+        # host-local device scalar would not be a valid global array under a
+        # multi-process mesh
+        self._fill_jit = jax.jit(self._fill, static_argnums=(3,))
 
     def _fill(self, params, title, sapo, pad_token_id):
         R = title.shape[0]
@@ -115,7 +118,7 @@ class CacheFiller:
     def fill(self, params, table: NewsTable,
              mesh: Optional[Mesh] = None) -> NewsEmbeddingCache:
         emb = self._fill_jit(params, table.title, table.sapo,
-                             jnp.int32(table.pad_token_id))
+                             int(table.pad_token_id))
         category = table.category
         if mesh is not None and mesh.shape.get(TABLE_AXIS, 1) > 1:
             R = emb.shape[0]
@@ -140,27 +143,20 @@ def build_cache(
     table: NewsTable,
     batch_size: int = 512,
     mesh: Optional[Mesh] = None,
-    params=None,
 ) -> NewsEmbeddingCache:
     """Run ``encode_fn(title, title_mask, sapo, sapo_mask) -> (B, D)`` over the
     whole news table in fixed-size jitted batches.
 
     The corpus is padded up to a multiple of ``batch_size`` (extra rows reuse
-    row 0 = the pad news) so every call sees one static shape.
-
-    When ``params`` is given, ``encode_fn`` must take ``(params, title,
-    title_mask, sapo, sapo_mask)`` and is used as-is (the caller jits it ONCE
-    and reuses it across rebuilds — rebuilding from updated parameters, e.g.
-    the cached-history refresh during training, must not retrace).
+    row 0 = the pad news) so every call sees one static shape.  For repeated
+    rebuilds from updated parameters use ``CacheFiller`` — this per-chunk
+    path re-jits per call and dispatches each chunk separately.
     """
     R = table.title.shape[0]
     padded = round_up(R, batch_size)
     n_batches = padded // batch_size
 
-    if params is not None:
-        encode = lambda *a: encode_fn(params, *a)
-    else:
-        encode = jax.jit(encode_fn)
+    encode = jax.jit(encode_fn)
     chunks = []
     for b in range(n_batches):
         start = b * batch_size

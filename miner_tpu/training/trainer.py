@@ -561,7 +561,14 @@ class Trainer:
         use_his_cache = his_cache_k > 0 and self._supports_cached_eval(kind)
         if his_cache_k > 0 and not use_his_cache:
             log.warning("--his_cache_refresh ignored for model kind %r", kind)
-        his_cache_warmup = int(getattr(a, "his_cache_warmup_steps", 0) or 0)
+        if his_cache_k == 0 and getattr(a, "his_cache_warmup_steps", 0):
+            log.warning("--his_cache_warmup_steps has no effect without "
+                        "--his_cache_refresh")
+        # warmup/refresh cadence is in OPTIMIZER steps; global_step counts
+        # micro-batches, so scale by the accumulation factor
+        accum = max(1, a.gradient_accumulation_steps)
+        his_cache_warmup = int(getattr(a, "his_cache_warmup_steps", 0) or 0) * accum
+        his_refresh_every = his_cache_k * accum
         if use_his_cache:
             cached_step = self._make_cached_his_train_step(model, kind, table)
             his_cache = None
@@ -590,7 +597,7 @@ class Trainer:
                     k: v for k, v in batch.items() if k != "valid"
                 })
                 if use_his_cache and global_step >= his_cache_warmup:
-                    if his_cache is None or global_step % his_cache_k == 0:
+                    if his_cache is None or global_step % his_refresh_every == 0:
                         his_cache = self._build_eval_cache(
                             model, state.params, table
                         ).embeddings
@@ -774,10 +781,13 @@ class Trainer:
 
     def _cache_filler(self, model):
         """The corpus cache filler, constructed (and its scan jitted) ONCE
-        per Trainer — cache rebuilds from updated parameters (eval cadence,
-        the cached-history refresh) are a single remote dispatch each and
-        never retrace."""
-        if getattr(self, "_cache_filler_obj", None) is None:
+        per model instance — cache rebuilds from updated parameters (eval
+        cadence, the cached-history refresh) are a single remote dispatch
+        each and never retrace."""
+        fillers = getattr(self, "_cache_fillers", None)
+        if fillers is None:
+            fillers = self._cache_fillers = {}
+        if id(model) not in fillers:
             from miner_tpu.parallel.news_cache import CacheFiller
 
             def encode(params, title, tmask, sapo, smask):
@@ -786,8 +796,8 @@ class Trainer:
                     deterministic=True, method=type(model).encode_news,
                 )
 
-            self._cache_filler_obj = CacheFiller(encode, batch_size=512)
-        return self._cache_filler_obj
+            fillers[id(model)] = CacheFiller(encode, batch_size=512)
+        return fillers[id(model)]
 
     def _build_eval_cache(self, model, params, table: NewsTable):
         mesh = self.mesh if self.mesh.devices.size > 1 else None

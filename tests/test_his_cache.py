@@ -146,3 +146,14 @@ def test_cached_his_warmup_switch(fixture_dir, tmp_path):
                               "--his_cache_warmup_steps", "5"])
     state = Trainer(args).train()
     assert int(state.step) == 20  # 2 epochs x 10 steps, both phases ran
+
+
+def test_cached_his_with_accumulation(fixture_dir, tmp_path):
+    """Warmup/refresh cadence is counted in optimizer steps (scaled by the
+    accumulation factor); the combined run completes."""
+    args = _train_args(fixture_dir, str(tmp_path),
+                       extra=["--his_cache_refresh", "2",
+                              "--his_cache_warmup_steps", "2",
+                              "--gradient_accumulation_steps", "2"])
+    state = Trainer(args).train()
+    assert int(state.step) == 20
