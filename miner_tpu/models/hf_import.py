@@ -182,6 +182,86 @@ def convert_miner_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict
     return params
 
 
+def export_plm_state_dict(plm: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """``TransformerPLM`` param subtree -> transformers-format state dict.
+
+    Exact inverse of :func:`convert_plm_state_dict`: flax kernels transpose
+    back to torch ``Linear.weight`` layout and the fused ``qkv`` kernel
+    splits into query/key/value."""
+
+    def a(x):
+        return np.asarray(x)
+
+    sd: Dict[str, np.ndarray] = {}
+    emb = plm["embeddings"]
+    sd[prefix + "embeddings.word_embeddings.weight"] = a(
+        emb["word_embeddings"]["embedding"])
+    sd[prefix + "embeddings.position_embeddings.weight"] = a(
+        emb["position_embeddings"]["embedding"])
+    sd[prefix + "embeddings.token_type_embeddings.weight"] = a(
+        emb["token_type_embeddings"]["embedding"])
+    sd[prefix + "embeddings.LayerNorm.weight"] = a(emb["ln"]["scale"])
+    sd[prefix + "embeddings.LayerNorm.bias"] = a(emb["ln"]["bias"])
+    i = 0
+    while f"layer_{i}" in plm:
+        lp = plm[f"layer_{i}"]
+        p = f"{prefix}encoder.layer.{i}."
+        qkv_k = a(lp["attention"]["qkv"]["kernel"])  # (D, 3D)
+        qkv_b = a(lp["attention"]["qkv"]["bias"])
+        D = qkv_k.shape[0]
+        for j, name in enumerate(("query", "key", "value")):
+            sd[p + f"attention.self.{name}.weight"] = (
+                qkv_k[:, j * D:(j + 1) * D].T)
+            sd[p + f"attention.self.{name}.bias"] = qkv_b[j * D:(j + 1) * D]
+        sd[p + "attention.output.dense.weight"] = a(
+            lp["attention"]["out"]["kernel"]).T
+        sd[p + "attention.output.dense.bias"] = a(lp["attention"]["out"]["bias"])
+        sd[p + "attention.output.LayerNorm.weight"] = a(lp["attention_ln"]["scale"])
+        sd[p + "attention.output.LayerNorm.bias"] = a(lp["attention_ln"]["bias"])
+        sd[p + "intermediate.dense.weight"] = a(lp["ffn_in"]["kernel"]).T
+        sd[p + "intermediate.dense.bias"] = a(lp["ffn_in"]["bias"])
+        sd[p + "output.dense.weight"] = a(lp["ffn_out"]["kernel"]).T
+        sd[p + "output.dense.bias"] = a(lp["ffn_out"]["bias"])
+        sd[p + "output.LayerNorm.weight"] = a(lp["ffn_ln"]["scale"])
+        sd[p + "output.LayerNorm.bias"] = a(lp["ffn_ln"]["bias"])
+        i += 1
+    return sd
+
+
+def export_miner_state_dict(params: Dict,
+                            plm_name: str = "roberta") -> Dict[str, np.ndarray]:
+    """Our full ``Miner`` param tree -> reference-format torch state dict.
+
+    Exact inverse of :func:`convert_miner_state_dict` — lets a model trained
+    here load into the reference ``Miner`` (reference: src/model/model.py:
+    13-138) via ``load_state_dict(..., strict=False)`` (the reference also
+    carries non-trainable buffers like ``position_ids`` that ``strict=False``
+    regenerates). See tools/export_to_reference.py for the checkpoint-dir
+    front end; round-trip-tested in tests/test_hf_import.py."""
+
+    def a(x):
+        return np.asarray(x)
+
+    ne = params["news_encoder"]
+    sd = export_plm_state_dict(ne["plm"], prefix=f"news_encoder.{plm_name}.")
+    if "reduce_dim" in ne:
+        sd["news_encoder.reduce_dim.weight"] = a(ne["reduce_dim"]["kernel"]).T
+        sd["news_encoder.reduce_dim.bias"] = a(ne["reduce_dim"]["bias"])
+    if "linear_combine" in ne:
+        sd["news_encoder.linear_combine.weight"] = a(
+            ne["linear_combine"]["kernel"]).T
+        sd["news_encoder.linear_combine.bias"] = a(ne["linear_combine"]["bias"])
+    sd["poly_attn.linear.weight"] = a(params["poly_attn"]["proj_kernel"]).T
+    sd["poly_attn.context_codes"] = a(params["poly_attn"]["context_codes"])
+    if "category_embedding" in params:
+        sd["category_embedding.weight"] = a(
+            params["category_embedding"]["embedding"])
+    if "target_aware_attn" in params:
+        sd["target_aware_attn.linear.weight"] = a(
+            params["target_aware_attn"]["proj"]["kernel"]).T
+    return sd
+
+
 def convert_unisrec_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     """Map a RecBole-style UniSRec torch state dict onto our param tree.
 

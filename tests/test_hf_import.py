@@ -245,3 +245,46 @@ def test_pretrained_embedding_flag_loads_weights(hf_checkpoint, tmp_path):
     trainer = Trainer(args)
     with pytest.raises(ValueError, match="shape mismatch"):
         trainer.train()
+
+
+def test_export_miner_round_trip():
+    """export_miner_state_dict is the exact inverse of
+    convert_miner_state_dict: params -> reference sd -> params is identity."""
+    from miner_tpu.models import Miner, NewsEncoder
+    from miner_tpu.models.hf_import import (
+        convert_miner_state_dict,
+        export_miner_state_dict,
+    )
+
+    cfg = PLMConfig.tiny()
+    enc = NewsEncoder(plm_cfg=cfg, apply_reduce_dim=True, word_embed_dim=32,
+                      use_sapo=False, combine_type="linear")
+    model = Miner(news_encoder=enc, use_category_bias=True,
+                  num_context_codes=4, context_code_dim=16,
+                  score_type="weighted", num_categories=7,
+                  category_embed_dim=8, category_pad_id=0)
+    B, C, H, L = 2, 3, 4, 8
+    rng = np.random.default_rng(0)
+    ids = lambda shape: jnp.asarray(
+        rng.integers(1, cfg.vocab_size, size=shape).astype(np.int32))
+    ones = lambda shape: jnp.ones(shape, jnp.int32)
+    batch = {
+        "cand_title": ids((B, C, L)), "cand_title_mask": ones((B, C, L)),
+        "his_title": ids((B, H, L)), "his_title_mask": ones((B, H, L)),
+        "cand_category": ids((B, C)) % 7, "his_category": ids((B, H)) % 7,
+        "his_mask": ones((B, H)),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    sd = export_miner_state_dict(params, plm_name="roberta")
+    back = convert_miner_state_dict(sd, num_layers=cfg.num_layers)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(
+        ("/".join(str(k) for k in path), leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(back)[0]
+    )
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        key = "/".join(str(k) for k in path)
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[key]), err_msg=key)

@@ -303,3 +303,61 @@ def test_step_level_training_parity(tmp_path, ref_mod):
     ref_logits_n = torch_forward(batches[0])
     np.testing.assert_allclose(np.asarray(logits_n), ref_logits_n,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_export_loads_into_reference_model(ref_mod):
+    """A checkpoint exported by export_miner_state_dict loads into the
+    reference ``Miner`` with strict=False leaving only non-trainable
+    buffers missing and NO unexpected keys (shape mismatches would raise).
+    Numerical equivalence follows from the exact export/convert round trip
+    (tests/test_hf_import.py) plus the import-direction parity above."""
+    import torch
+
+    from miner_tpu.models import Miner, NewsEncoder
+    from miner_tpu.models.hf_import import export_miner_state_dict
+
+    ref_model, _ = ref_mod
+    sys.modules.pop("src.model.news_encoder", None)
+    from src.model.news_encoder import NewsEncoder as RefNewsEncoder
+
+    vocab, n_cat, cat_pad = 1000, 7, 0
+    enc = NewsEncoder(plm_cfg=_plm_cfg(vocab), apply_reduce_dim=True,
+                      word_embed_dim=D_WORD, use_sapo=True,
+                      combine_type="linear", dropout=0.0)
+    ours = Miner(news_encoder=enc, use_category_bias=True,
+                 num_context_codes=K, context_code_dim=P_DIM,
+                 score_type="weighted", dropout=0.0, num_categories=n_cat,
+                 category_embed_dim=D_CAT, category_pad_id=cat_pad)
+    rng = np.random.default_rng(0)
+    ids = lambda shape: jnp.asarray(
+        rng.integers(1, vocab, size=shape).astype(np.int32))
+    ones = lambda shape: jnp.ones(shape, jnp.int32)
+    batch = {
+        "cand_title": ids((2, C, LT)), "cand_title_mask": ones((2, C, LT)),
+        "his_title": ids((2, H, LT)), "his_title_mask": ones((2, H, LT)),
+        "cand_sapo": ids((2, C, LS)), "cand_sapo_mask": ones((2, C, LS)),
+        "his_sapo": ids((2, H, LS)), "his_sapo_mask": ones((2, H, LS)),
+        "cand_category": ids((2, C)) % n_cat, "his_category": ids((2, H)) % n_cat,
+        "his_mask": ones((2, H)),
+    }
+    params = ours.init(jax.random.PRNGKey(0), batch)["params"]
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in export_miner_state_dict(params, "roberta").items()}
+
+    torch.manual_seed(0)
+    renc = RefNewsEncoder(config=_roberta_cfg(vocab), apply_reduce_dim=True,
+                          use_sapo=True, dropout=0.0,
+                          freeze_transformer=False, word_embed_dim=D_WORD,
+                          combine_type="linear")
+    rmodel = ref_model.Miner(news_encoder=renc, use_category_bias=True,
+                             num_context_codes=K, context_code_dim=P_DIM,
+                             score_type="weighted", dropout=0.0,
+                             num_category=n_cat, category_embed_dim=D_CAT,
+                             category_pad_token_id=cat_pad)
+    result = rmodel.load_state_dict(sd, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    # only non-forward tensors may be absent: buffers (position_ids) and the
+    # HF pooler head the reference never calls (it uses last_hidden_state)
+    for k in result.missing_keys:
+        assert ("position_ids" in k or "embeddings" in k
+                or ".pooler." in k), k

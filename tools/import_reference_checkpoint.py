@@ -20,9 +20,19 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 sys.path.insert(0, ".")
+
+if os.environ.get("JAX_PLATFORMS"):
+    # The axon sitecustomize force-registers the TPU backend and overrides
+    # jax_platforms programmatically; orbax's checkpointer calls
+    # jax.default_backend(), which would then initialize the (slow) TPU
+    # tunnel even for this pure-host conversion. Honor the env var.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def load_torch_state_dict(path: str, reference_repo: str | None):
