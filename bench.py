@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -212,7 +213,7 @@ def bench_miner_train_real_pipeline(n_steps: int = 30):
                         warmup_steps=100, accum_steps=1)
     state = TrainState.create(params, tx, jax.random.PRNGKey(2))
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, cand_idx, his_idx, label):
         rngs = {"dropout": jax.random.fold_in(state.rng, state.step)}
         batch = table.lookup(cand_idx, his_idx)
@@ -299,7 +300,7 @@ def bench_miner_train_cached_his(n_steps: int = 30, refresh_every: int = 500,
     _sync(cache.embeddings)
     refresh_s = time.perf_counter() - t0
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, cand_idx, his_idx, label, cache_emb):
         rngs = {"dropout": jax.random.fold_in(state.rng, state.step)}
 
@@ -366,7 +367,7 @@ def bench_miner_train(n_steps: int = 10):
                         warmup_steps=100, accum_steps=1)
     state = TrainState.create(params, tx, jax.random.PRNGKey(2))
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, label):
         rngs = {"dropout": jax.random.fold_in(state.rng, state.step)}
 

@@ -210,9 +210,12 @@ class UnbertTrainSampler:
         is_pos = slot == 0
         is_neg = (slot >= 1) & (slot <= k)
         neg_pick = rng.integers(0, np.maximum(neg_count, 1), size=total)
-        neg_rows = log.neg_flat[
-            np.minimum(log.neg_offsets[e] + neg_pick, len(log.neg_flat) - 1)
-        ]
+        if len(log.neg_flat):
+            neg_rows = log.neg_flat[
+                np.minimum(log.neg_offsets[e] + neg_pick, len(log.neg_flat) - 1)
+            ]
+        else:  # no negatives anywhere in the log: is_neg is all-False
+            neg_rows = np.zeros(total, dtype=np.int64)
         cand = np.where(is_pos, variant * N + log.pos_row[e],
                         np.where(is_neg, neg_rows, 0)).astype(np.int32)
         label = is_pos.astype(np.float32)

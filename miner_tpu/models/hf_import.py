@@ -128,6 +128,28 @@ def stack_layer_params(plm_params: Dict) -> Dict:
     return out
 
 
+def unstack_layer_params(plm_params: Dict) -> Dict:
+    """Inverse of :func:`stack_layer_params`: the scan layout
+    ({layers: {layer: (num_layers, ...)-stacked leaves}}) -> per-layer
+    ({layer_i: subtree}). Needed to export ``--scan_layers``-trained
+    checkpoints to the reference/unrolled formats."""
+    stacked = plm_params["layers"]["layer"]
+    leaf = stacked
+    while isinstance(leaf, dict):
+        leaf = next(iter(leaf.values()))
+    n = int(np.asarray(leaf).shape[0])
+
+    def pick(tree, i):
+        if isinstance(tree, dict):
+            return {k: pick(v, i) for k, v in tree.items()}
+        return np.asarray(tree)[i]
+
+    out = {k: v for k, v in plm_params.items() if k != "layers"}
+    for i in range(n):
+        out[f"layer_{i}"] = pick(stacked, i)
+    return out
+
+
 def convert_miner_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
     """Reference-format MINER torch state dict -> our full Miner param tree.
 
@@ -192,6 +214,8 @@ def export_plm_state_dict(plm: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
     def a(x):
         return np.asarray(x)
 
+    if "layers" in plm:  # --scan_layers checkpoint: unstack to per-layer
+        plm = unstack_layer_params(plm)
     sd: Dict[str, np.ndarray] = {}
     emb = plm["embeddings"]
     sd[prefix + "embeddings.word_embeddings.weight"] = a(

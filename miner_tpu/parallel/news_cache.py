@@ -42,6 +42,23 @@ class NewsEmbeddingCache:
     category: jax.Array  # (R,)
     category_pad_id: int
     mesh: Optional[Mesh] = None
+    _scoring_view: Optional[jax.Array] = dataclasses.field(
+        default=None, repr=False)
+
+    @property
+    def scoring_embeddings(self) -> jax.Array:
+        """The embeddings as consumed by the fused lookup+score kernel,
+        which routes f32 through its per-row DMA gather (16-bit (1, D) VMEM
+        slices are untileable on TPU).  Cast ONCE per cache build and
+        memoized — casting inside the jitted scoring program would
+        materialize an O(rows x dim) convert on EVERY eval/serving batch,
+        scaling per-batch cost with corpus size.  Sharded or already-f32
+        caches pass through unchanged."""
+        if self.mesh is not None or self.embeddings.dtype == jnp.float32:
+            return self.embeddings
+        if self._scoring_view is None:
+            self._scoring_view = self.embeddings.astype(jnp.float32)
+        return self._scoring_view
 
     @property
     def num_rows(self) -> int:
@@ -67,7 +84,8 @@ class NewsEmbeddingCache:
         if fused and self.mesh is None:
             from miner_tpu.ops.lookup_score import lookup_score_fused
 
-            return lookup_score_fused(self.embeddings, cand_idx, interests)
+            return lookup_score_fused(self.scoring_embeddings, cand_idx,
+                                      interests)
         cand = self.lookup(cand_idx)
         return jnp.einsum("bcd,bkd->bck", cand, interests.astype(cand.dtype))
 

@@ -37,10 +37,13 @@ def process_row_range(mesh: Mesh, n_rows: int) -> tuple[int, int]:
     dim shards on the leading mesh axis; asserted below rather than assumed.
     """
     sh = batch_sharding(mesh, 1)
-    spans = sorted(
+    # Devices that differ only in model/table coordinates map to the SAME
+    # row slice — dedupe before the contiguity accounting, or any mesh with
+    # model>1 or table>1 double-counts spans and trips the check below.
+    spans = sorted(set(
         (s[0].start or 0, n_rows if s[0].stop is None else s[0].stop)
         for s in sh.addressable_devices_indices_map((n_rows,)).values()
-    )
+    ))
     start, stop = spans[0][0], spans[-1][1]
     covered = sum(b - a for a, b in spans)
     if covered != stop - start:

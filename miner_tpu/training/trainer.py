@@ -713,7 +713,13 @@ class Trainer:
 
         score = lookup_score_fused if fused_ok else lookup_score_reference
 
-        def scores_fn(params, cache_emb, cache_cat, cand_idx, his_idx):
+        # ``cache_emb_score`` is the kernel-facing view of the same cache
+        # (f32, NewsEmbeddingCache.scoring_embeddings — pre-cast once per
+        # build); gathers for history/candidate representations stay on the
+        # compute-dtype ``cache_emb`` so the model sees identical inputs on
+        # both the fused and fallback paths.
+        def scores_fn(params, cache_emb, cache_emb_score, cache_cat,
+                      cand_idx, his_idx):
             variables = {"params": params}
             his_repr = jnp.take(cache_emb, his_idx, axis=0)
             his_cat = jnp.take(cache_cat, his_idx, axis=0)
@@ -730,7 +736,7 @@ class Trainer:
                     variables, his_repr, his_mask, bias,
                     method=type(model).interests_from_history,
                 )
-                pscores = score(cache_emb, cand_idx, interests)
+                pscores = score(cache_emb_score, cand_idx, interests)
                 cand_repr = None
                 if model.score_type == "weighted":
                     cand_repr = jnp.take(cache_emb, cand_idx, axis=0)
@@ -762,12 +768,13 @@ class Trainer:
             model, kind, table.category_pad_id, fused_ok
         )
 
-        def eval_step(params, cache_emb, cache_cat, batch, valid):
+        def eval_step(params, cache_emb, cache_emb_score, cache_cat, batch,
+                      valid):
             B = batch["cand_idx"].shape[0]
             row_mask = jnp.arange(B) < valid
             interests, logits = scores_fn(
-                params, cache_emb, cache_cat, batch["cand_idx"],
-                batch["his_idx"],
+                params, cache_emb, cache_emb_score, cache_cat,
+                batch["cand_idx"], batch["his_idx"],
             )
             if kind == "miner":
                 loss = losses.miner_eval_loss(interests, logits,
@@ -845,8 +852,8 @@ class Trainer:
             dev_valid = jnp.asarray(valid, jnp.int32)
             if cache is not None:
                 loss, logits = cached_step(
-                    params, cache.embeddings, cache.category, dev_batch,
-                    dev_valid,
+                    params, cache.embeddings, cache.scoring_embeddings,
+                    cache.category, dev_batch, dev_valid,
                 )
             else:
                 loss, logits = eval_step(params, dev_batch, dev_valid)
@@ -983,13 +990,26 @@ class Trainer:
         """Batched multi-user serving: (B, C) candidate indices + (B, H)
         history indices -> (B, C) matching scores, straight from the
         news-embedding cache through the fused lookup+score kernel on TPU
-        (single-shard caches) or the XLA reference elsewhere."""
-        scores_fn = jax.jit(self._make_cached_scores_fn(
-            model, kind, cache.category_pad_id, fused_ok=cache.mesh is None
-        ))
+        (single-shard caches) or the XLA reference elsewhere.
+
+        The jitted scoring program is built ONCE per (model, kind,
+        fused-path) and cached on the trainer — jax.jit keys on function
+        identity, so re-wrapping a fresh closure per request would recompile
+        the full program on every call in a serving loop."""
+        fns = getattr(self, "_serve_score_fns", None)
+        if fns is None:
+            fns = self._serve_score_fns = {}
+        key = (id(model), kind, cache.category_pad_id, cache.mesh is None)
+        if key not in fns:
+            fns[key] = jax.jit(self._make_cached_scores_fn(
+                model, kind, cache.category_pad_id,
+                fused_ok=cache.mesh is None
+            ))
+        scores_fn = fns[key]
         _, logits = scores_fn(
-            params, cache.embeddings, cache.category,
-            jnp.asarray(cand_idx, jnp.int32), jnp.asarray(his_idx, jnp.int32),
+            params, cache.embeddings, cache.scoring_embeddings,
+            cache.category, jnp.asarray(cand_idx, jnp.int32),
+            jnp.asarray(his_idx, jnp.int32),
         )
         return np.asarray(jax.device_get(logits))
 

@@ -14,7 +14,8 @@ import os
 import sys
 
 
-def run(fixture_dir: str, out_path: str, steps: int = 3):
+def run(fixture_dir: str, out_path: str, steps: int = 3,
+        mesh_model: int = 1):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -50,6 +51,11 @@ def run(fixture_dir: str, out_path: str, steps: int = 3):
         "--compute_dtype", "float32",
         "--train_path", os.path.join(fixture_dir, "unused"),
     ]
+    if mesh_model > 1:
+        # tensor parallelism over the PLM: devices differing only in the
+        # model coordinate own the SAME batch rows (regression coverage for
+        # process_row_range's span dedupe)
+        argv += ["--mesh_model", str(mesh_model)]
     args = make_parser().parse_args(argv)
     tr = Trainer(args)
     store = tr._load_store(args.train_news_path)
@@ -68,10 +74,17 @@ def run(fixture_dir: str, out_path: str, steps: int = 3):
     example = {k: jnp.asarray(v) for k, v in example.items() if k != "valid"}
     params = tr._init_params_for_kind(model, kind, tr._host_table(store),
                                       example)
+    if mesh_model > 1:
+        # mirror Trainer.train: Megatron placements BEFORE optimizer init so
+        # the Adam moments inherit the shardings; no blanket replication
+        from miner_tpu.parallel.tp import shard_params
+
+        params = shard_params(params, tr.mesh)
     tx = make_optimizer(params, learning_rate=1e-3, total_steps=steps,
                         warmup_steps=0)
     state = TrainState.create(params, tx, jax.random.PRNGKey(args.seed + 1))
-    state = replicate_tree(tr.mesh, state)
+    if mesh_model == 1:
+        state = replicate_tree(tr.mesh, state)
     train_step = tr._make_train_step(model, kind, table)
 
     step_losses = []
@@ -81,9 +94,18 @@ def run(fixture_dir: str, out_path: str, steps: int = 3):
         state, loss = train_step(state, dev)
         step_losses.append(float(jax.device_get(loss)))
 
+    out_params = state.params
+    if mesh_model > 1:
+        # model-axis-sharded leaves are not fully addressable per process;
+        # all-gather them back to replicated before fetching
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out_params = jax.jit(
+            lambda t: t, out_shardings=NamedSharding(tr.mesh, P())
+        )(out_params)
     flat = {
         jax.tree_util.keystr(p): np.asarray(jax.device_get(leaf))
-        for p, leaf in jax.tree_util.tree_leaves_with_path(state.params)
+        for p, leaf in jax.tree_util.tree_leaves_with_path(out_params)
     }
     np.savez(out_path, __losses__=np.asarray(step_losses, np.float64), **flat)
 
@@ -91,6 +113,7 @@ def run(fixture_dir: str, out_path: str, steps: int = 3):
 def main():
     proc_id, n_procs = int(sys.argv[1]), int(sys.argv[2])
     port, fixture_dir, out_path = sys.argv[3], sys.argv[4], sys.argv[5]
+    mesh_model = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
     per_proc = 8 // n_procs
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -109,7 +132,7 @@ def main():
             process_id=proc_id,
         )
     assert jax.device_count() == 8, jax.devices()
-    run(fixture_dir, out_path)
+    run(fixture_dir, out_path, mesh_model=mesh_model)
 
 
 if __name__ == "__main__":

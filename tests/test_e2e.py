@@ -4,6 +4,7 @@ import glob
 import json
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -271,8 +272,33 @@ def test_recommend_cli(fixture_dir, tmp_path):
     args_r2 = make_parser().parse_args(
         argv + ["--candidates", "N7", "N8"])
     args_r2.topk = 2
-    results2 = Trainer(args_r2).recommend()
+    trainer2 = Trainer(args_r2)
+    results2 = trainer2.recommend()
     assert {nid for nid, _ in results2} == {"N7", "N8"}
+    # serve_scores caches its jitted program per (model, kind, fused-path):
+    # a serving loop holding one model must not rebuild + recompile the
+    # closure per request
+    assert len(trainer2._serve_score_fns) == 1
+    ((_, skind, _, _),) = trainer2._serve_score_fns
+    store2 = trainer2._load_store(args_r2.eval_news_path)
+    model2, kind2 = trainer2.build_model(store2)
+    table2 = trainer2._make_table(store2)
+    example = {k: jnp.asarray(v) for k, v in {
+        "cand_idx": np.zeros((1, 1), np.int32),
+        "his_idx": np.zeros((1, args_r2.his_length), np.int32),
+        "label": np.zeros((1, 1), np.float32),
+        "impression_id": np.zeros((1,), np.int32)}.items()}
+    params2 = trainer2._init_params_for_kind(
+        model2, kind2, trainer2._host_table(store2), example)
+    cache2 = trainer2._build_eval_cache(model2, params2, table2)
+    n_before = len(trainer2._serve_score_fns)
+    cand = np.array([[1, 2]], np.int32)
+    his = np.zeros((1, args_r2.his_length), np.int32)
+    s1 = trainer2.serve_scores(model2, kind2, params2, cache2, cand, his)
+    s2 = trainer2.serve_scores(model2, kind2, params2, cache2, cand, his)
+    np.testing.assert_array_equal(s1, s2)
+    # one new entry for the new model instance, reused across both calls
+    assert len(trainer2._serve_score_fns) == n_before + 1
 
 
 def test_fast_eval_mode(fixture_dir, tmp_path):

@@ -288,3 +288,46 @@ def test_export_miner_round_trip():
         key = "/".join(str(k) for k in path)
         np.testing.assert_array_equal(
             np.asarray(leaf), np.asarray(flat_b[key]), err_msg=key)
+
+
+def test_export_scan_layers_checkpoint_matches_unrolled():
+    """export_miner_state_dict on a --scan_layers checkpoint (layers stored
+    stacked under 'layers/layer') produces the SAME reference state dict as
+    the unrolled layout — it used to silently export zero encoder layers."""
+    from miner_tpu.models import Miner, NewsEncoder
+    from miner_tpu.models.hf_import import (
+        export_miner_state_dict,
+        stack_layer_params,
+    )
+
+    cfg = PLMConfig.tiny()
+    enc = NewsEncoder(plm_cfg=cfg, apply_reduce_dim=True, word_embed_dim=32,
+                      use_sapo=False, combine_type="linear")
+    model = Miner(news_encoder=enc, use_category_bias=True,
+                  num_context_codes=4, context_code_dim=16,
+                  score_type="weighted", num_categories=7,
+                  category_embed_dim=8, category_pad_id=0)
+    B, C, H, L = 2, 3, 4, 8
+    rng = np.random.default_rng(0)
+    ids = lambda shape: jnp.asarray(
+        rng.integers(1, cfg.vocab_size, size=shape).astype(np.int32))
+    ones = lambda shape: jnp.ones(shape, jnp.int32)
+    batch = {
+        "cand_title": ids((B, C, L)), "cand_title_mask": ones((B, C, L)),
+        "his_title": ids((B, H, L)), "his_title_mask": ones((B, H, L)),
+        "cand_category": ids((B, C)) % 7, "his_category": ids((B, H)) % 7,
+        "his_mask": ones((B, H)),
+    }
+    params = jax.tree_util.tree_map(
+        np.asarray, model.init(jax.random.PRNGKey(0), batch)["params"])
+    scan_params = dict(params)
+    scan_params["news_encoder"] = dict(params["news_encoder"])
+    scan_params["news_encoder"]["plm"] = stack_layer_params(
+        params["news_encoder"]["plm"])
+
+    sd_unrolled = export_miner_state_dict(params, plm_name="roberta")
+    sd_scan = export_miner_state_dict(scan_params, plm_name="roberta")
+    assert set(sd_scan) == set(sd_unrolled)
+    assert any(".encoder.layer.1." in k for k in sd_scan)
+    for k in sd_unrolled:
+        np.testing.assert_array_equal(sd_scan[k], sd_unrolled[k], err_msg=k)

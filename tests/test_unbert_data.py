@@ -155,3 +155,26 @@ def test_unbert_train_e2e(setup, tmp_path):
     rows = list(csv.DictReader(open(os.path.join(rd, "loss.csv"))))
     assert rows and all(np.isfinite(float(r["loss"])) for r in rows), \
         "UnBERT training loss is not finite"
+
+
+def test_train_sampler_log_without_negatives(setup):
+    """A behaviors log where every impression has only clicks (neg_flat
+    empty) must sample: all emitted rows are the positive, none crash.
+    The vectorized gather used to index neg_flat[-1] on an empty array."""
+    _, tok, store, log, packer = setup
+
+    class _NoNegLog:
+        num_events = log.num_events
+        pos_row = log.pos_row
+        neg_flat = log.neg_flat[:0]
+        neg_offsets = np.zeros(log.num_events + 1, dtype=log.neg_offsets.dtype)
+        history = log.history
+        hist_ptr = log.hist_ptr
+        impression_id = log.impression_id
+
+    s = UnbertTrainSampler(_NoNegLog(), store, packer, npratio=3, seed=1)
+    block = s.sample_epoch(0).to_dict()
+    # with zero negatives every candidate slot falls back to the positive
+    # row or the pad row; labels stay {0,1} and nothing raises
+    assert block["label"].shape == (5 * log.num_events,)
+    assert set(np.unique(block["label"])) <= {0.0, 1.0}

@@ -86,11 +86,16 @@ def main():
         lookup_score_reference,
     )
 
+    # the kernel consumes an f32 view of the cache, pre-cast ONCE per build
+    # (NewsEmbeddingCache.scoring_embeddings) — never inside the per-batch
+    # jitted program, where it would re-materialize the whole corpus
+    cache_emb_score = cache_emb.astype(jnp.float32)
+
     def make_score(fused: bool):
         kernel = lookup_score_fused if fused else lookup_score_reference
 
         @jax.jit
-        def score(p, emb, cat, cand_idx, his_idx):
+        def score(p, emb, emb_score, cat, cand_idx, his_idx):
             # the production serving decomposition
             # (trainer._make_cached_scores_fn): interests from history, then
             # fused DMA-gather + per-interest MXU scoring against the cache
@@ -103,7 +108,7 @@ def main():
                                method=type(model).category_bias_from_ids)
             interests = model.apply(variables, his, hmask, bias,
                                     method=type(model).interests_from_history)
-            pscores = kernel(emb, cand_idx, interests)
+            pscores = kernel(emb_score if fused else emb, cand_idx, interests)
             cand = (jnp.take(emb, cand_idx, axis=0)
                     if model.score_type == "weighted" else None)
             return model.apply(variables, interests, pscores, cand,
@@ -113,12 +118,14 @@ def main():
 
     for fused in (False, True):
         score = make_score(fused)
-        out = score(params, cache_emb, cache_cat, cand_idx, his_idx)
+        out = score(params, cache_emb, cache_emb_score, cache_cat, cand_idx,
+                    his_idx)
         float(out.ravel()[0])
         n = 20
         t0 = time.perf_counter()
         for _ in range(n):
-            out = score(params, cache_emb, cache_cat, cand_idx, his_idx)
+            out = score(params, cache_emb, cache_emb_score, cache_cat,
+                        cand_idx, his_idx)
         float(out.ravel()[0])
         dt = time.perf_counter() - t0
         tag = "fused-kernel" if fused else "xla-reference"
