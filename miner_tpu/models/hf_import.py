@@ -162,6 +162,15 @@ def convert_miner_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict
     (tests/test_torch_parity.py).
     """
     sd = {k: np.asarray(v) for k, v in sd.items()}
+    if any(k.startswith("news_encoder.lstm.") for k in sd):
+        raise ValueError(
+            "cannot import a --combine_type lstm checkpoint: the reference's "
+            "lstm combiner feeds a 2-D tensor into nn.LSTM (unbatched-"
+            "sequence semantics; reference: src/model/news_encoder.py:52-56, "
+            "100-104) while ours is a BiLSTM over the [title, sapo] pair — "
+            "the weight shapes are architecturally incompatible (see "
+            "PARITY.md deviations). Retrain, or use combine_type linear."
+        )
 
     def t(name):
         return sd[name].T
@@ -267,6 +276,15 @@ def export_miner_state_dict(params: Dict,
         return np.asarray(x)
 
     ne = params["news_encoder"]
+    if "lstm_combine" in ne:
+        raise ValueError(
+            "cannot export a --combine_type lstm model to the reference "
+            "format: our BiLSTM-over-[title, sapo] combiner is a deliberate "
+            "redesign of the reference's broken unbatched nn.LSTM path "
+            "(reference: src/model/news_encoder.py:52-56, 100-104) — the "
+            "weight shapes are architecturally incompatible (see PARITY.md "
+            "deviations)."
+        )
     sd = export_plm_state_dict(ne["plm"], prefix=f"news_encoder.{plm_name}.")
     if "reduce_dim" in ne:
         sd["news_encoder.reduce_dim.weight"] = a(ne["reduce_dim"]["kernel"]).T

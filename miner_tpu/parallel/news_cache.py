@@ -52,9 +52,18 @@ class NewsEmbeddingCache:
         slices are untileable on TPU).  Cast ONCE per cache build and
         memoized — casting inside the jitted scoring program would
         materialize an O(rows x dim) convert on EVERY eval/serving batch,
-        scaling per-batch cost with corpus size.  Sharded or already-f32
-        caches pass through unchanged."""
-        if self.mesh is not None or self.embeddings.dtype == jnp.float32:
+        scaling per-batch cost with corpus size.  Gated on the kernel's own
+        runnability condition (single-shard TPU cache, lane-aligned dim) —
+        anywhere the kernel would fall back to the XLA reference the
+        original array passes through, so no second corpus copy is pinned
+        for nothing."""
+        from miner_tpu.ops.common import on_tpu
+        from miner_tpu.ops.lookup_score import lookup_score_available
+
+        if (self.mesh is not None
+                or self.embeddings.dtype == jnp.float32
+                or not on_tpu()
+                or not lookup_score_available(self.dim)):
             return self.embeddings
         if self._scoring_view is None:
             self._scoring_view = self.embeddings.astype(jnp.float32)

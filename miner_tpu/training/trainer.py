@@ -843,9 +843,18 @@ class Trainer:
         if cached_ctx is not None:
             model, kind, table = cached_ctx
             cache = self._build_eval_cache(model, params, table)
-            cached_step = self._make_cached_eval_step(
-                model, kind, table, fused_ok=cache.mesh is None
-            )
+            # memoize the jitted cached-eval program (jit keys on function
+            # identity): a fresh closure per eval interval would recompile
+            # the full scoring program every eval_steps
+            steps = getattr(self, "_cached_eval_steps", None)
+            if steps is None:
+                steps = self._cached_eval_steps = {}
+            key = (id(model), kind, id(table), cache.mesh is None)
+            if key not in steps:
+                steps[key] = self._make_cached_eval_step(
+                    model, kind, table, fused_ok=cache.mesh is None
+                )
+            cached_step = steps[key]
         for batch in batcher.batches(block):
             valid = int(batch.pop("valid"))
             dev_batch = shard_batch(self.mesh, batch)

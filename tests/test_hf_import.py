@@ -331,3 +331,19 @@ def test_export_scan_layers_checkpoint_matches_unrolled():
     assert any(".encoder.layer.1." in k for k in sd_scan)
     for k in sd_unrolled:
         np.testing.assert_array_equal(sd_scan[k], sd_unrolled[k], err_msg=k)
+
+
+def test_lstm_combine_transfer_raises_loudly():
+    """The lstm combiner is a documented architectural deviation (the
+    reference's unbatched nn.LSTM path is broken): both transfer directions
+    must fail loudly instead of silently dropping the combiner weights."""
+    from miner_tpu.models.hf_import import (
+        convert_miner_state_dict,
+        export_miner_state_dict,
+    )
+
+    with pytest.raises(ValueError, match="lstm"):
+        export_miner_state_dict({"news_encoder": {"lstm_combine": {}}})
+    with pytest.raises(ValueError, match="lstm"):
+        convert_miner_state_dict(
+            {"news_encoder.lstm.weight_ih_l0": np.zeros((4, 4))}, num_layers=1)

@@ -357,7 +357,8 @@ def test_export_loads_into_reference_model(ref_mod):
     result = rmodel.load_state_dict(sd, strict=False)
     assert not result.unexpected_keys, result.unexpected_keys
     # only non-forward tensors may be absent: buffers (position_ids) and the
-    # HF pooler head the reference never calls (it uses last_hidden_state)
+    # HF pooler head the reference never calls (it uses last_hidden_state).
+    # NO blanket "embeddings" clause — a missing word_embeddings.weight must
+    # fail this test.
     for k in result.missing_keys:
-        assert ("position_ids" in k or "embeddings" in k
-                or ".pooler." in k), k
+        assert ("position_ids" in k or ".pooler." in k), k

@@ -22,16 +22,11 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS"):
-    # The axon sitecustomize force-registers the TPU backend and overrides
-    # jax_platforms programmatically; orbax's checkpointer calls
-    # jax.default_backend(), which would then initialize the (slow) TPU
-    # tunnel even for this pure-host conversion. Honor the env var.
-    import jax
+from tools._env import honor_env_platform
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_env_platform()
 
 
 def main():
@@ -51,12 +46,23 @@ def main():
     from miner_tpu.models.hf_import import export_miner_state_dict
     from miner_tpu.training.checkpoint import CheckpointManager
 
-    ckpt = CheckpointManager(os.path.dirname(args.ckpt) or ".")
-    payload = ckpt.restore(os.path.basename(args.ckpt))
+    ckpt_path = os.path.normpath(args.ckpt)  # tolerate a trailing slash
+    ckpt = CheckpointManager(os.path.dirname(ckpt_path) or ".")
+    payload = ckpt.restore(os.path.basename(ckpt_path))
     params = payload["params"] if "params" in payload else payload
     sd = export_miner_state_dict(params, plm_name=args.plm_name)
-    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
-               args.out)
+
+    import numpy as np
+
+    def to_torch(v):
+        try:
+            return torch.from_numpy(v.copy())
+        except TypeError:
+            # --param_dtype bfloat16 checkpoints restore as ml_dtypes
+            # arrays torch cannot consume; the reference models are f32
+            return torch.from_numpy(np.asarray(v, np.float32))
+
+    torch.save({k: to_torch(v) for k, v in sd.items()}, args.out)
     print(f"wrote {len(sd)} tensors to {args.out}")
 
 

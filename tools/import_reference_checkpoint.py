@@ -23,16 +23,11 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if os.environ.get("JAX_PLATFORMS"):
-    # The axon sitecustomize force-registers the TPU backend and overrides
-    # jax_platforms programmatically; orbax's checkpointer calls
-    # jax.default_backend(), which would then initialize the (slow) TPU
-    # tunnel even for this pure-host conversion. Honor the env var.
-    import jax
+from tools._env import honor_env_platform
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_env_platform()
 
 
 def load_torch_state_dict(path: str, reference_repo: str | None):
