@@ -1,7 +1,9 @@
 """CLI entry point: the reference's subcommand surface on the TPU trainer.
 
 ``python -m miner_tpu <train|train_fastformer|eval|eval_fastformer|pretrain>
-@config/file.txt`` (reference: main.py:33-64).
+@config/file.txt`` (reference: main.py:33-64), plus two serving subcommands
+with no reference counterpart: ``recommend`` (one-shot ranking) and
+``serve`` (HTTP scoring server over the news-embedding cache).
 """
 from __future__ import annotations
 
@@ -42,6 +44,10 @@ def main(argv=None):
         Trainer(args).eval()
     elif args.mode == "recommend":
         Trainer(args).recommend()
+    elif args.mode == "serve":
+        from miner_tpu.serving import serve
+
+        serve(Trainer(args), args.host, args.port)
     return 0
 
 

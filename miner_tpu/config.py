@@ -55,6 +55,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--candidates", nargs="*", default=None,
                    help="candidate news ids (default: whole corpus)")
     p.add_argument("--topk", type=int, default=10)
+    p = sub.add_parser("serve", fromfile_prefix_chars="@", allow_abbrev=False)
+    p.convert_arg_line_to_args = convert_arg_line_to_args
+    add_eval_arguments(p)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8400,
+                   help="HTTP port (0: pick a free port)")
     return parser
 
 

@@ -26,7 +26,7 @@ import json
 import logging
 import os
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, NamedTuple, Optional
 
 import numpy as np
 
@@ -85,6 +85,17 @@ def _configure_prng(impl: Optional[str]):
         impl = "rbg" if jax.default_backend() not in ("cpu", "gpu") else None
     if impl:
         jax.config.update("jax_default_prng_impl", impl)
+
+
+class ServingContext(NamedTuple):
+    """One-time setup shared by ``recommend`` and the HTTP scoring server."""
+
+    store: NewsStore
+    table: NewsTable
+    model: object
+    kind: str
+    params: Dict
+    cache: object  # NewsEmbeddingCache
 
 
 class Trainer:
@@ -939,12 +950,8 @@ class Trainer:
         (helper_val.ipynb).
         """
         a = self.args
-        store = self._load_store(a.eval_news_path)
-        table = self._make_table(store)
-        model, kind = self.build_model(store)
-        if not self._supports_cached_eval(kind):
-            raise ValueError(f"recommend supports two-tower models, not "
-                             f"{self.model_name!r}")
+        ctx = self.serving_context()
+        store = ctx.store
 
         def idx_of(nid: str) -> int:
             if nid not in store.id_to_row:
@@ -960,12 +967,37 @@ class Trainer:
             row_to_id = {v: k for k, v in store.id_to_row.items()}
             cand_ids = [row_to_id.get(i, str(i)) for i in cand]
 
+        H = min(len(his), a.his_length)
+        his_idx = np.zeros((1, a.his_length), np.int32)
+        his_idx[0, -H:] = his[-H:]  # left-pad, recency at the end
+        cand_idx = np.asarray(cand, np.int32)[None, :]
+
+        scores = self.serve_scores(ctx.model, ctx.kind, ctx.params, ctx.cache,
+                                   cand_idx, his_idx)[0]
+        order = np.argsort(-scores)[: a.topk]
+        results = [(cand_ids[i], float(scores[i])) for i in order]
+        for nid, sc in results:
+            print(f"{nid}\t{sc:.4f}")
+        return results
+
+    def serving_context(self) -> "ServingContext":
+        """Everything a scoring endpoint needs, built once: the news store,
+        device table, model, restored parameters, and the corpus
+        news-embedding cache (one PLM pass; zero PLM calls per request
+        afterwards).  Used by ``recommend`` and the HTTP scoring server
+        (miner_tpu.serving)."""
+        a = self.args
+        store = self._load_store(a.eval_news_path)
+        table = self._make_table(store)
+        model, kind = self.build_model(store)
+        if not self._supports_cached_eval(kind):
+            raise ValueError(f"serving supports two-tower models, not "
+                             f"{self.model_name!r}")
         # init + restore params. The init example uses a single dummy
         # candidate: parameter shapes are independent of the candidate count,
         # and a full-corpus candidate row would run the PLM news tower over
         # every news item just to produce shapes that the checkpoint
         # overwrites anyway.
-        H = min(len(his), a.his_length)
         example = {
             "cand_idx": np.zeros((1, 1), np.int32),
             "his_idx": np.zeros((1, a.his_length), np.int32),
@@ -980,19 +1012,9 @@ class Trainer:
             ckpt = CheckpointManager(os.path.dirname(a.saved_model_path))
             payload = ckpt.restore(os.path.basename(a.saved_model_path))
             params = payload["params"]
-
         cache = self._build_eval_cache(model, params, table)
-        his_idx = np.zeros((1, a.his_length), np.int32)
-        his_idx[0, -H:] = his[-H:]  # left-pad, recency at the end
-        cand_idx = np.asarray(cand, np.int32)[None, :]
-
-        scores = self.serve_scores(model, kind, params, cache, cand_idx,
-                                   his_idx)[0]
-        order = np.argsort(-scores)[: a.topk]
-        results = [(cand_ids[i], float(scores[i])) for i in order]
-        for nid, sc in results:
-            print(f"{nid}\t{sc:.4f}")
-        return results
+        return ServingContext(store=store, table=table, model=model,
+                              kind=kind, params=params, cache=cache)
 
     def serve_scores(self, model, kind: str, params, cache,
                      cand_idx: np.ndarray, his_idx: np.ndarray) -> np.ndarray:
