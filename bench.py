@@ -391,6 +391,34 @@ def bench_miner_train(n_steps: int = 10):
 
 
 def main():
+    import os
+    import sys
+    import threading
+
+    # The first backend query initializes the remote TPU client; a wedged
+    # tunnel hangs there with zero CPU (observed multi-hour wedges). Fail
+    # fast with a diagnosable error instead of hanging the bench harness.
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon sitecustomize overrides jax_platforms programmatically;
+        # make an explicit env request (e.g. cpu smoke runs) win
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    booted = threading.Event()
+    timeout_s = float(os.environ.get("MINER_TPU_INIT_TIMEOUT", "900"))
+
+    def _watchdog():
+        if not booted.wait(timeout_s):
+            print(
+                f"bench: backend init did not complete in {timeout_s:.0f}s "
+                "(remote TPU tunnel wedged?) — aborting",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()  # force backend init under the watchdog
+    booted.set()
+
     # dropout-mask generation via the TPU hardware rbg PRNG (see
     # training/trainer.py:_configure_prng)
     if jax.default_backend() not in ("cpu", "gpu"):
