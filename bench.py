@@ -341,6 +341,79 @@ def bench_miner_train_cached_his(n_steps: int = 30, refresh_every: int = 500,
     return steady, amortized, refresh_s
 
 
+def bench_cached_serving(n_steps: int = 20, V: int = 20000, B: int = 256,
+                         plm_preset: str = "roberta_base"):
+    """Candidates/s for the production serving path (recommend / serve /
+    cached eval): interests from cached history + fused DMA lookup+score
+    against a 20k-row news-embedding cache — zero PLM calls per request.
+    Uses Trainer.serve_scores' jitted program shape via the same model
+    methods (tools/bench_cached_eval.py measures both kernel variants)."""
+    from __graft_entry__ import _build_miner
+    from miner_tpu.ops.common import on_tpu
+    from miner_tpu.ops.lookup_score import (
+        lookup_score_available,
+        lookup_score_fused,
+        lookup_score_reference,
+    )
+
+    C, H, D = 20, 50, 256
+    vocab, n_cat, Lt, Ls = 30522, 32, 32, 128
+    model = _build_miner(plm_preset=plm_preset, vocab=vocab, n_cat=n_cat,
+                         dtype=jnp.bfloat16, remat=False, use_fused=True,
+                         gelu_approx=True)
+    rng = np.random.default_rng(0)
+    example = {}
+    for k, s in {
+        "cand_title": (1, C, Lt), "cand_sapo": (1, C, Ls),
+        "his_title": (1, H, Lt), "his_sapo": (1, H, Ls),
+    }.items():
+        example[k] = jnp.asarray(rng.integers(4, vocab, size=s).astype(np.int32))
+        example[k + "_mask"] = jnp.ones(s, jnp.int32)
+    example["cand_category"] = jnp.asarray(
+        rng.integers(1, n_cat, size=(1, C)).astype(np.int32))
+    example["his_category"] = jnp.asarray(
+        rng.integers(1, n_cat, size=(1, H)).astype(np.int32))
+    example["his_mask"] = jnp.ones((1, H), jnp.int32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        example)["params"]
+
+    cache_emb = jnp.asarray(
+        rng.normal(size=(V, D)).astype(np.float32) * 0.1, dtype=jnp.bfloat16)
+    cache_cat = jnp.asarray(rng.integers(1, n_cat, size=(V,)).astype(np.int32))
+    cand_idx = jnp.asarray(rng.integers(1, V, size=(B, C)).astype(np.int32))
+    his_idx = jnp.asarray(rng.integers(1, V, size=(B, H)).astype(np.int32))
+    fused = on_tpu() and lookup_score_available(D)
+    kernel = lookup_score_fused if fused else lookup_score_reference
+    cache_emb_score = cache_emb.astype(jnp.float32) if fused else cache_emb
+
+    @jax.jit
+    def score(p, emb, emb_score, cat, cand_idx, his_idx):
+        his = jnp.take(emb, his_idx, axis=0)
+        ccat = jnp.take(cat, cand_idx, axis=0)
+        hcat = jnp.take(cat, his_idx, axis=0)
+        hmask = (hcat != 0).astype(jnp.int32)
+        variables = {"params": p}
+        bias = model.apply(variables, hcat, ccat, True,
+                           method=type(model).category_bias_from_ids)
+        interests = model.apply(variables, his, hmask, bias,
+                                method=type(model).interests_from_history)
+        pscores = kernel(emb_score, cand_idx, interests)
+        cand = jnp.take(emb, cand_idx, axis=0)
+        return model.apply(variables, interests, pscores, cand,
+                           method=type(model).aggregate_matching)
+
+    out = score(params, cache_emb, cache_emb_score, cache_cat, cand_idx, his_idx)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        out = score(params, cache_emb, cache_emb_score, cache_cat, cand_idx,
+                    his_idx)
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return (n_steps * B * C) / dt / jax.device_count()
+
+
 def bench_miner_train(n_steps: int = 10):
     from __graft_entry__ import _build_miner, _synthetic_batch
     from miner_tpu.training import losses
@@ -443,6 +516,13 @@ def main():
 
         print(f"cached-history bench failed: {e}", file=sys.stderr)
         cached_his = None
+    try:
+        serving_cps = bench_cached_serving()
+    except Exception as e:
+        import sys
+
+        print(f"cached-serving bench failed: {e}", file=sys.stderr)
+        serving_cps = None
     B = 16
     tflops_per_step = miner_train_model_flops(B=B) / 1e12
     tflops_per_sec = train_eps / B * tflops_per_step
@@ -466,6 +546,9 @@ def main():
         details["miner_train_cached_his_amortized_k500"] = round(amortized, 2)
         details["miner_train_cached_his_refresh_sec_20k_news"] = round(
             refresh_s, 2)
+    if serving_cps is not None:
+        # recommend/serve/cached-eval path: zero PLM calls per request
+        details["cached_serving_candidates_per_sec"] = round(serving_cps, 0)
     if peak is not None:
         # model FLOPs only (no remat recompute credit)
         details["mfu"] = round(tflops_per_sec / peak, 4)

@@ -76,6 +76,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--his_length", type=int, default=50)
     p.add_argument("--seed", type=int, default=36)
     p.add_argument("--save_eval_result", action="store_true")
+    # MIND-leaderboard submission file (prediction.txt: one line per
+    # impression, 1-based candidate ranks). New here — the reference's
+    # preds.pkl needs notebook post-processing to submit.
+    p.add_argument("--save_ranking", action="store_true")
     p.add_argument("--metrics", type=str, nargs="+",
                    default=["auc", "group_auc", "mrr", "ndcg@5", "ndcg@10"])
     p.add_argument("--evaluation_info", type=str, nargs="+", default=["metrics"],

@@ -115,3 +115,31 @@ class ImpressionEvaluator:
         pred_dict = {"pred": self.prob_predictions, "impression_id": self.impression_ids}
         with open(os.path.join(path, "preds.pkl"), "wb") as f:
             pickle.dump(pred_dict, f)
+
+    def save_ranking(self, path: str, filename: str = "prediction.txt"):
+        """Write the MIND-leaderboard submission format.
+
+        One line per impression, sorted by impression id:
+        ``<impression_id> [r1,r2,...]`` where ``rj`` is the 1-based rank of
+        the j-th candidate (1 = highest score), candidates in their original
+        impression order. This is the official MIND challenge format; the
+        reference has no equivalent writer (its preds.pkl requires notebook
+        post-processing to submit).
+        """
+        if not self._prob_chunks:
+            raise ValueError("no predictions accumulated")
+        probs = np.concatenate(self._prob_chunks)
+        ids = np.concatenate(self._id_chunks)
+        order = np.argsort(ids, kind="stable")
+        ids, probs = ids[order], probs[order]
+        boundaries = np.flatnonzero(np.diff(ids)) + 1
+        out = os.path.join(path, filename)
+        with open(out, "w") as f:
+            for imp_id, group in zip(
+                np.concatenate([[ids[0]], ids[boundaries]]) if len(ids) else [],
+                np.split(probs, boundaries),
+            ):
+                # rank 1 = best; double-argsort converts scores to ranks
+                ranks = (-group).argsort(kind="stable").argsort() + 1
+                f.write(f"{int(imp_id)} [{','.join(map(str, ranks.tolist()))}]\n")
+        return out

@@ -1,4 +1,4 @@
-"""Tensor parallelism for the PLM towers (Megatron-style weight sharding).
+"""Tensor + expert parallelism for the model weights (GSPMD sharding).
 
 No reference counterpart (the reference is single-GPU; SURVEY §2.6#5 lists
 TP over the PLM as the stretch strategy for this workload). The design is
@@ -7,7 +7,10 @@ pure GSPMD: parameters get ``NamedSharding`` placements over the mesh's
 
   * ``qkv`` / ``ffn_in`` kernels column-parallel  (D, F) -> P(None, 'model');
   * ``out`` / ``ffn_out`` kernels row-parallel    (F, D) -> P('model', None);
-  * matching biases shard on their only dim; everything else replicates —
+  * matching biases shard on their only dim;
+  * the MoE adaptor's stacked expert weights shard on the expert dim
+    (expert parallelism for UniSRec's dense mixture);
+  * everything else replicates —
 
 and XLA's SPMD partitioner derives the activation layouts and inserts the
 all-reduces (the scaling-book recipe: annotate placements, let the compiler
@@ -31,6 +34,14 @@ _RULES = [
     (re.compile(r"(qkv|ffn_in)/kernel$"), (None, MODEL_AXIS)),
     (re.compile(r"(qkv|ffn_in)/bias$"), (MODEL_AXIS,)),
     (re.compile(r"(attention/out|ffn_out)/kernel$"), (MODEL_AXIS, None)),
+    # Expert parallelism for the MoE adaptor (models/news_encoder.py
+    # _PWExperts): the stacked (E, D_in, D_out) expert weights shard on the
+    # expert dim — each device runs its local experts, and XLA reduces the
+    # gated "be,beo->bo" mixture over the model axis. The mixture is dense
+    # (every expert sees every token, reference: src/model/news_encoder.py:
+    # 135-166), so EP here is a weight/compute split, not a routed dispatch.
+    (re.compile(r"experts/kernel$"), (MODEL_AXIS, None, None)),
+    (re.compile(r"experts/bias$"), (MODEL_AXIS, None)),
 ]
 
 

@@ -128,6 +128,9 @@ def make_http_server(service: ScoringService, host: str,
                 if candidates is not None and not isinstance(candidates, list):
                     raise ValueError("'candidates' must be a list or null")
                 topk = req.get("topk")
+                if topk is not None and (not isinstance(topk, int)
+                                         or isinstance(topk, bool)):
+                    raise ValueError("'topk' must be an integer or null")
                 results = service.score(history, candidates, topk)
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})

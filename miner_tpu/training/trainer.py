@@ -889,6 +889,8 @@ class Trainer:
         logger.log_eval(epoch, step, scores, total_loss)
         if a.save_eval_result and hasattr(evaluator, "save_predictions"):
             evaluator.save_predictions(logger.run_dir)
+        if getattr(a, "save_ranking", False) and hasattr(evaluator, "save_ranking"):
+            evaluator.save_ranking(logger.run_dir)
         return scores, total_loss
 
     def _maybe_checkpoint(self, ckpt, state, scores, eval_loss, best_loss,

@@ -95,3 +95,17 @@ def test_compute_scores_all_metrics(tmp_path):
     assert (tmp_path / "group_auc.txt").exists()
     assert (tmp_path / "ndcg5.txt").exists()
     assert len((tmp_path / "mrr.txt").read_text().splitlines()) == 20
+
+
+def test_save_ranking_mind_format(tmp_path):
+    """prediction.txt: `<imp_id> [r1,r2,...]` with 1-based descending-score
+    ranks in original candidate order, lines sorted by impression id."""
+    from miner_tpu.evaluation.evaluator import ImpressionEvaluator
+
+    ev = ImpressionEvaluator({7: [1, 0, 0], 3: [0, 1]})
+    # batches arrive id-interleaved; logits chosen so ranks are unambiguous
+    ev.eval_batch(np.array([0.9, -1.0, 0.5]), np.array([7, 7, 7]))
+    ev.eval_batch(np.array([-2.0, 2.0]), np.array([3, 3]))
+    out = ev.save_ranking(str(tmp_path))
+    lines = open(out).read().splitlines()
+    assert lines == ["3 [2,1]", "7 [1,3,2]"]

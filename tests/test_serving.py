@@ -123,6 +123,8 @@ def test_score_errors(served):
     assert status == 400 and "NOPE" in body["error"]
     status, body = _post(url, {"history": "N1"})
     assert status == 400 and "history" in body["error"]
+    status, body = _post(url, {"history": ["N1"], "topk": "three"})
+    assert status == 400 and "topk" in body["error"]
     req = urllib.request.Request(url + "/nope", data=b"{}")
     try:
         urllib.request.urlopen(req)

@@ -52,6 +52,45 @@ def test_tp_matches_data_parallel(fixture_dir, tmp_path):
     assert sharded >= 8, f"only {sharded} leaves are model-sharded"
 
 
+def test_ep_unisrec_matches_data_parallel(fixture_dir, tmp_path):
+    """Expert parallelism: UniSRec's MoE adaptor trained with the expert
+    stack sharded over the model axis must equal the data-parallel run, and
+    the expert weights must actually be sharded."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+
+    def _train_unisrec(out_dir, mesh_model):
+        from miner_tpu.training.trainer import Trainer
+
+        args = _train_args(fixture_dir, out_dir)
+        args.model_name = "unisrec"
+        args.combine_type = "pre-concat"
+        args.num_train_epochs = 1
+        args.mesh_model = mesh_model
+        args.mesh_data = 8 // mesh_model
+        return Trainer(args).train()
+
+    state_dp = _train_unisrec(str(tmp_path / "dp"), mesh_model=1)
+    state_ep = _train_unisrec(str(tmp_path / "ep"), mesh_model=4)
+
+    expert_sharded = 0
+    for (path, tl), (_, dl) in zip(
+        jax.tree_util.tree_leaves_with_path(state_ep.params),
+        jax.tree_util.tree_leaves_with_path(state_dp.params),
+    ):
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(tl), np.asarray(dl), rtol=1e-4, atol=1e-5,
+            err_msg=f"{name}: EP != DP",
+        )
+        spec = tl.sharding.spec if hasattr(tl.sharding, "spec") else ()
+        if "experts" in name and any(s == MODEL_AXIS for s in spec):
+            expert_sharded += 1
+    # experts/kernel (E, D_in, D_out) and experts/bias (E, D_in)
+    assert expert_sharded >= 2, (
+        f"only {expert_sharded} expert leaves are model-sharded")
+
+
 def test_tp_shardings_rules():
     """Rule unit test: kernels shard on the right axes, odd shapes fall
     back to replication."""
@@ -96,3 +135,16 @@ def test_tp_shardings_rules():
         P(None, None, MODEL_AXIS)
     assert sh["head"]["kernel"].spec == P()
     assert sh["odd"]["qkv"]["kernel"].spec == P()
+
+    moe = {
+        "experts": {"kernel": jnp.zeros((8, 64, 32)),
+                    "bias": jnp.zeros((8, 64))},
+        "w_gate": jnp.zeros((64, 8)),
+        # 6 experts % 4 devices -> replicated fallback
+        "odd_experts": {"experts": {"kernel": jnp.zeros((6, 64, 32))}},
+    }
+    sh = tp_param_shardings(moe, mesh)
+    assert sh["experts"]["kernel"].spec == P(MODEL_AXIS, None, None)
+    assert sh["experts"]["bias"].spec == P(MODEL_AXIS, None)
+    assert sh["w_gate"].spec == P()
+    assert sh["odd_experts"]["experts"]["kernel"].spec == P()
