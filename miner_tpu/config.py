@@ -61,6 +61,12 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8400,
                    help="HTTP port (0: pick a free port)")
+    p.add_argument("--serve_max_batch", type=int, default=32,
+                   help="max concurrent requests coalesced into one device "
+                        "call (1 disables micro-batching)")
+    p.add_argument("--serve_batch_wait_ms", type=float, default=2.0,
+                   help="how long the batcher waits after the first request "
+                        "of a drain window for more to coalesce")
     return parser
 
 

@@ -11,8 +11,14 @@ No reference counterpart: the reference's closest workflow is manual
 notebook scoring (reference: helper_val.ipynb); it re-encodes every news
 item on every impression and has no serving entry point at all.
 
+Concurrent requests coalesce through a :class:`MicroBatcher` into ONE
+jitted device call per drain window (``--serve_max_batch``,
+``--serve_batch_wait_ms``) — the scoring program is batched over users, so
+N in-flight requests cost one program launch instead of N.
+
 API (JSON):
-  GET  /healthz            -> {"status": "ok", "num_news": N}
+  GET  /healthz            -> {"status": "ok", "num_news": N,
+                               "requests": R, "device_batches": D}
   POST /score              {"history": [news_id, ...],       # oldest first
                             "candidates": [news_id, ...] | null,  # null=corpus
                             "topk": int | null}
@@ -26,8 +32,11 @@ ranking.
 from __future__ import annotations
 
 import json
+import queue
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -41,14 +50,144 @@ def candidate_bucket(n: int, minimum: int = 16) -> int:
     return b
 
 
-class ScoringService:
-    """Request scoring around a ``Trainer.serving_context()``."""
+class _Pending:
+    """One enqueued scoring request (internal to MicroBatcher)."""
 
-    def __init__(self, trainer):
+    __slots__ = ("cand", "his", "done", "scores", "error")
+
+    def __init__(self, cand: np.ndarray, his: np.ndarray):
+        self.cand = cand  # (C,) candidate rows, C <= some bucket
+        self.his = his  # (H,) history rows, fixed H
+        self.done = threading.Event()
+        self.scores: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Coalesces concurrent scoring requests into one device program.
+
+    The scoring path is a single jitted program over ``(B, C)`` index
+    arrays (``Trainer.serve_scores``); a lone request is ``B=1`` and leaves
+    the MXU nearly idle — the measured cached-serving throughput at B=256
+    is ~100x the B=1 rate per request.  Requests from the server's handler
+    threads enqueue here; a worker thread drains up to ``max_batch`` of
+    them (waiting at most ``max_wait_ms`` after the first arrival so an
+    idle server adds negligible latency), pads them into one
+    ``(B_bucket, C_bucket)`` batch (power-of-two buckets keep the number of
+    compiled shapes at ``log2(max_batch) * log2(corpus)``), runs ONE device
+    call, and distributes the per-request score rows.
+
+    ``score_fn(cand_idx (B, C), his_idx (B, H)) -> (B, C) scores``; padding
+    rows use index 0 (the pad news) and are dropped before results are
+    returned.  No reference counterpart (the reference has no serving
+    path at all).
+    """
+
+    def __init__(self, score_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
+                 his_length: int, max_batch: int = 32,
+                 max_wait_ms: float = 2.0):
+        self.score_fn = score_fn
+        self.his_length = int(his_length)
+        self.max_batch = max(1, int(max_batch))
+        self.max_wait_s = max(0.0, float(max_wait_ms)) / 1e3
+        self.requests = 0  # total requests scored (observability)
+        self.device_batches = 0  # total device calls issued
+        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._lock = threading.Lock()  # guards counters
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="miner-tpu-microbatcher")
+        self._worker.start()
+
+    def submit(self, cand: Sequence[int], his: np.ndarray) -> np.ndarray:
+        """Blocking: returns the (len(cand),) scores for one request."""
+        item = _Pending(np.asarray(cand, np.int32), np.asarray(his, np.int32))
+        self._q.put(item)
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        return item.scores
+
+    def close(self):
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------- worker
+    def _drain(self, first: _Pending) -> List[_Pending]:
+        group = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(group) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            try:
+                nxt = self._q.get(timeout=max(0.0, remaining))
+            except queue.Empty:
+                break
+            if nxt is None:  # shutdown: process what we have first
+                self._q.put(None)
+                break
+            group.append(nxt)
+            if remaining <= 0:
+                break
+        return group
+
+    def _run(self):
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            group = self._drain(first)
+            B = len(group)
+            B_pad = 1 if B == 1 else candidate_bucket(B, minimum=2)
+            B_pad = min(B_pad, self.max_batch)
+            C_pad = max(candidate_bucket(len(it.cand)) for it in group)
+            cand_idx = np.zeros((B_pad, C_pad), np.int32)
+            his_idx = np.zeros((B_pad, self.his_length), np.int32)
+            for i, it in enumerate(group):
+                cand_idx[i, : len(it.cand)] = it.cand
+                his_idx[i] = it.his
+            try:
+                scores = np.asarray(self.score_fn(cand_idx, his_idx))
+            except BaseException as e:  # propagate to every caller
+                for it in group:
+                    it.error = e
+                    it.done.set()
+                continue
+            with self._lock:
+                self.requests += B
+                self.device_batches += 1
+            for i, it in enumerate(group):
+                it.scores = scores[i, : len(it.cand)]
+                it.done.set()
+
+
+class ScoringService:
+    """Request scoring around a ``Trainer.serving_context()``.
+
+    Concurrent requests (the HTTP server is threaded) coalesce through a
+    :class:`MicroBatcher` into one jitted device call per drain —
+    ``max_batch``/``batch_wait_ms`` come from ``--serve_max_batch`` /
+    ``--serve_batch_wait_ms`` when built from the CLI."""
+
+    def __init__(self, trainer, max_batch: Optional[int] = None,
+                 batch_wait_ms: Optional[float] = None):
         self.trainer = trainer
         self.ctx = trainer.serving_context()
         self._row_to_id = {v: k for k, v in self.ctx.store.id_to_row.items()}
         self.his_length = trainer.args.his_length
+        a = trainer.args
+        self.batcher = MicroBatcher(
+            self._score_batch, his_length=self.his_length,
+            max_batch=getattr(a, "serve_max_batch", 32)
+            if max_batch is None else max_batch,
+            max_wait_ms=getattr(a, "serve_batch_wait_ms", 2.0)
+            if batch_wait_ms is None else batch_wait_ms,
+        )
+
+    def _score_batch(self, cand_idx: np.ndarray,
+                     his_idx: np.ndarray) -> np.ndarray:
+        ctx = self.ctx
+        return self.trainer.serve_scores(
+            ctx.model, ctx.kind, ctx.params, ctx.cache, cand_idx, his_idx
+        )
 
     @property
     def num_news(self) -> int:
@@ -78,18 +217,10 @@ class ScoringService:
             return []
 
         H = min(len(his), self.his_length)
-        his_idx = np.zeros((1, self.his_length), np.int32)
-        his_idx[0, self.his_length - H:] = his[len(his) - H:]
+        his_row = np.zeros((self.his_length,), np.int32)
+        his_row[self.his_length - H:] = his[len(his) - H:]
 
-        C = len(cand)
-        C_pad = candidate_bucket(C)
-        cand_idx = np.zeros((1, C_pad), np.int32)  # pad slots -> pad news 0
-        cand_idx[0, :C] = cand
-
-        ctx = self.ctx
-        scores = self.trainer.serve_scores(
-            ctx.model, ctx.kind, ctx.params, ctx.cache, cand_idx, his_idx
-        )[0, :C]
+        scores = self.batcher.submit(cand, his_row)
         order = np.argsort(-scores)
         if topk is not None:
             order = order[:topk]
@@ -110,7 +241,10 @@ def make_http_server(service: ScoringService, host: str,
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok",
-                                  "num_news": service.num_news})
+                                  "num_news": service.num_news,
+                                  "requests": service.batcher.requests,
+                                  "device_batches":
+                                      service.batcher.device_batches})
             else:
                 self._reply(404, {"error": f"unknown path {self.path!r}"})
 

@@ -81,7 +81,9 @@ def test_healthz(served):
     with urllib.request.urlopen(url + "/healthz") as r:
         body = json.loads(r.read())
     assert r.status == 200
-    assert body == {"status": "ok", "num_news": service.num_news}
+    assert body["status"] == "ok"
+    assert body["num_news"] == service.num_news
+    assert body["device_batches"] <= body["requests"]
 
 
 def test_score_matches_recommend(served):
@@ -131,6 +133,95 @@ def test_score_errors(served):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_microbatcher_coalesces():
+    """Requests arriving while a device call is in flight are drained into
+    ONE batched call, each getting its own padded row back."""
+    from miner_tpu.serving import MicroBatcher
+
+    calls = []
+    release = threading.Event()
+
+    def score_fn(cand_idx, his_idx):
+        calls.append(cand_idx.copy())
+        if len(calls) == 1:
+            assert release.wait(10)
+        return cand_idx * 2.0 + his_idx.sum(axis=1, keepdims=True)
+
+    mb = MicroBatcher(score_fn, his_length=4, max_batch=8, max_wait_ms=50)
+    results = {}
+
+    def submit(i, n_cand):
+        cand = list(range(10 * i + 1, 10 * i + 1 + n_cand))
+        his = np.full((4,), i, np.int32)
+        results[i] = (cand, his, mb.submit(cand, his))
+
+    t0 = threading.Thread(target=submit, args=(0, 3))
+    t0.start()
+    while not calls:  # worker is now blocked inside the first device call
+        pass
+    rest = [threading.Thread(target=submit, args=(i, 2 + i)) for i in
+            range(1, 6)]
+    for t in rest:
+        t.start()
+    while mb._q.qsize() < 5:  # all five enqueued behind the blocked call
+        pass
+    release.set()
+    t0.join(10)
+    for t in rest:
+        t.join(10)
+
+    assert len(calls) == 2, "queued requests must coalesce into one call"
+    assert calls[1].shape[0] >= 5  # one batched program for all five
+    for i, (cand, his, got) in results.items():
+        want = np.asarray(cand) * 2.0 + his.sum()
+        np.testing.assert_array_equal(got, want)
+    assert mb.requests == 6 and mb.device_batches == 2
+    mb.close()
+
+
+def test_microbatcher_propagates_errors():
+    from miner_tpu.serving import MicroBatcher
+
+    def boom(cand_idx, his_idx):
+        raise RuntimeError("kaboom")
+
+    mb = MicroBatcher(boom, his_length=2, max_batch=4, max_wait_ms=0)
+    with pytest.raises(RuntimeError, match="kaboom"):
+        mb.submit([1, 2], np.zeros((2,), np.int32))
+    mb.close()
+
+
+def test_concurrent_requests_match_sequential(served):
+    """Concurrent HTTP requests (which may coalesce into batched device
+    calls) return the same scores as isolated B=1 scoring."""
+    url, service, _, _ = served
+    slates = [["N7", "N8", "N2"], ["N2", "N5"], ["N8", "N1", "N4", "N6"],
+              ["N3"], ["N6", "N7"], ["N5", "N4", "N3"]]
+    sequential = {i: service.score(["N1", "N3"], s)
+                  for i, s in enumerate(slates)}
+    out = {}
+
+    def hit(i):
+        out[i] = _post(url, {"history": ["N1", "N3"], "candidates": slates[i]})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in
+               range(len(slates))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    for i, s in enumerate(slates):
+        status, body = out[i]
+        assert status == 200
+        got = dict(body["results"])
+        want = dict(sequential[i])
+        assert set(got) == set(want)
+        # batched (B>1) and lone (B=1) programs tile differently: fp noise
+        for nid in want:
+            np.testing.assert_allclose(got[nid], want[nid], rtol=5e-4,
+                                       atol=1e-5)
 
 
 def test_bucketed_slates_share_compiled_program(served):
