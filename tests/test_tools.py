@@ -166,3 +166,50 @@ def test_prepare_mind(tmp_path):
     log = BehaviorsLog.from_tsv(str(out / "train" / "behaviors.tsv"), store,
                                 user2id=u2i, max_his_click=4)
     assert log.num_eval_impressions == len(tr)
+
+
+def test_impact_cmd(tmp_path, capsys):
+    """helper_val cells 104-140 replacement: containment counts, watched-item
+    rank deltas between two runs, side-by-side slates."""
+    behaviors = tmp_path / "behaviors.tsv"
+    behaviors.write_text(
+        # line 0: watched N5 as positive; line 1: watched N6 as negative;
+        # line 2: no watched candidate
+        "0\tU0\tt\tN1 N2\tN5-1 N3-0 N4-0\n"
+        "1\tU1\tt\tN1\tN2-1 N6-0\n"
+        "2\tU2\tt\tN2\tN3-1 N4-0\n"
+    )
+    watch = tmp_path / "watch.txt"
+    watch.write_text("N5\nN6\n")
+    # run A ranks N5 first; run B ranks it last (rank 1 -> 3)
+    run_a = {0: [0.9, 0.5, 0.1], 1: [0.8, 0.2], 2: [0.7, 0.3]}
+    run_b = {0: [0.1, 0.5, 0.9], 1: [0.8, 0.2], 2: [0.7, 0.3]}
+    pa, pb = tmp_path / "a.pkl", tmp_path / "b.pkl"
+    pa.write_bytes(pickle.dumps(run_a))
+    pb.write_bytes(pickle.dumps(run_b))
+
+    rc = analyze_preds.main(
+        ["impact", "--behaviors", str(behaviors), "--watchlist", str(watch),
+         "--run_a", str(pa), "--run_b", str(pb), "--top", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    stats = json.loads(out.splitlines()[0])
+    assert stats == {
+        "watched_ids": 2, "impressions": 3, "with_watched_candidate": 2,
+        "with_watched_positive": 1, "with_watched_negative": 1,
+        "evaluated_with_watched": 2, "skipped_mismatched": 0,
+    }
+    # impression 0 has the biggest watched-rank move (1 -> 3), printed first
+    body = out.split("\n\n")[1:]
+    assert body[0].startswith("impression 0")
+    assert "run A: N5*+ N3 N4" in body[0]
+    assert "run B: N4 N3 N5*+" in body[0]
+
+    # single-run mode: sorts by worst watched rank
+    rc = analyze_preds.main(
+        ["impact", "--behaviors", str(behaviors), "--watchlist", str(watch),
+         "--run_a", str(pa), "--top", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert json.loads(out.splitlines()[0])["evaluated_with_watched"] == 2
+    assert "impression 1" in out  # N6 ranks 2 of 2 -> worst watched rank

@@ -10,6 +10,11 @@ Subcommands
                ``{metric}.txt`` dumps, with a Welch t-test on the paired
                per-impression scores (reference: helper_val.ipynb cells
                74-82, 301-311).
+``impact``   — rare/impactful-news impact analysis: containment counts for a
+               watchlist of news ids, watched-item ranks per eval run, and
+               side-by-side ranked slates where two runs disagree most
+               (reference: helper_val.ipynb cells 104-140, the
+               ``classified_like_impactful_events`` workflow).
 ``synth``    — build a synthetic MIND-format test set from real click
                histories + a fixed hand-picked candidate slate
                (reference: helper_val.ipynb cells 8-52, the ``data/synt_test``
@@ -111,6 +116,136 @@ def cmd_compare(args):
     return 0
 
 
+# -------------------------------------------------------------------- impact
+def _load_watchlist(path):
+    """News ids to watch: a text file (one id per line / first TSV field) or
+    a pandas pickle with a 'News ID' column (the reference's
+    ``classified_like_impactful_events`` format, helper_val.ipynb cell 104)."""
+    if path.endswith((".pkl", ".pickle")):
+        with open(path, "rb") as f:
+            df = pickle.load(f)
+        return set(map(str, df["News ID"].values))
+    with open(path, encoding="utf-8") as f:
+        return {ln.split("\t")[0].split(",")[0].strip() for ln in f
+                if ln.strip()}
+
+
+def _load_preds_dict(path):
+    """preds.pkl (file or eval run dir) -> {impression_id: [scores]}."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "preds.pkl")
+    with open(path, "rb") as f:
+        raw = pickle.load(f)
+    if set(raw.keys()) >= {"pred", "impression_id"}:
+        preds = {}
+        for score, iid in zip(raw["pred"], raw["impression_id"]):
+            preds.setdefault(int(iid), []).append(float(score))
+        return preds
+    return {int(k): list(map(float, v)) for k, v in raw.items()}
+
+
+def _parse_candidates(behaviors_path):
+    """behaviors.tsv -> {0-based line number: [(news_id, label), ...]}
+    (impression ids in preds.pkl are 0-based line numbers, matching the
+    evaluator; reference: src/reader.py:29-36 enumerate ids)."""
+    out = {}
+    with open(behaviors_path, encoding="utf-8") as f:
+        for line_no, line in enumerate(f):
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 5 or not cols[4].strip():
+                continue
+            slate = []
+            for tok in cols[4].split():
+                nid, _, label = tok.rpartition("-")
+                if nid:
+                    slate.append((nid, int(label)))
+            out[line_no] = slate
+    return out
+
+
+def _ranks(scores):
+    """1-based rank per candidate (1 = highest score), stable."""
+    order = np.argsort(-np.asarray(scores), kind="stable")
+    ranks = np.empty(len(scores), dtype=np.int64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    return ranks
+
+
+def cmd_impact(args):
+    """Rare/impactful-news impact analysis (helper_val.ipynb cells 104-137):
+    which impressions contain watched news ids, how the watched items rank
+    in one or two eval runs, and side-by-side ranked slates for the
+    impressions where the two runs disagree the most."""
+    watch = _load_watchlist(args.watchlist)
+    slates = _parse_candidates(args.behaviors)
+
+    def hits(label=None):
+        return sum(
+            any(nid in watch and (label is None or lb == label)
+                for nid, lb in slate)
+            for slate in slates.values()
+        )
+
+    preds_a = _load_preds_dict(args.run_a)
+    preds_b = _load_preds_dict(args.run_b) if args.run_b else None
+
+    rows = []  # (imp_id, watched ranks A, ranks B, max |delta|)
+    skipped = 0
+    for iid, scores_a in preds_a.items():
+        slate = slates.get(iid)
+        if slate is None or not any(nid in watch for nid, _ in slate):
+            continue
+        # length sanity (helper_val cell 109): slate must align with preds
+        if len(slate) != len(scores_a):
+            skipped += 1
+            continue
+        ranks_a = _ranks(scores_a)
+        ranks_b = None
+        if preds_b is not None:
+            scores_b = preds_b.get(iid)
+            if scores_b is None or len(scores_b) != len(slate):
+                skipped += 1
+                continue
+            ranks_b = _ranks(scores_b)
+        w_idx = [i for i, (nid, _) in enumerate(slate) if nid in watch]
+        delta = (max(abs(int(ranks_a[i]) - int(ranks_b[i])) for i in w_idx)
+                 if ranks_b is not None
+                 else max(int(ranks_a[i]) for i in w_idx))
+        rows.append((iid, ranks_a, ranks_b, w_idx, delta))
+
+    print(json.dumps({
+        "watched_ids": len(watch),
+        "impressions": len(slates),
+        "with_watched_candidate": hits(),
+        "with_watched_positive": hits(1),
+        "with_watched_negative": hits(0),
+        "evaluated_with_watched": len(rows),
+        "skipped_mismatched": skipped,
+    }))
+
+    rows.sort(key=lambda r: -r[4])
+    for iid, ranks_a, ranks_b, w_idx, delta in rows[: args.top]:
+        slate = slates[iid]
+        tag = ("max watched-rank move" if ranks_b is not None
+               else "worst watched rank")
+        print(f"\nimpression {iid} ({tag} = {delta}):")
+        scores_a = preds_a[iid]
+        for mark, scores, ranks in (
+            ("A", scores_a, ranks_a),
+            ("B", preds_b.get(iid) if preds_b else None, ranks_b),
+        ):
+            if scores is None:
+                continue
+            order = np.argsort(-np.asarray(scores), kind="stable")
+            line = " ".join(
+                f"{slate[i][0]}{'*' if i in w_idx else ''}"
+                f"{'+' if slate[i][1] == 1 else ''}"
+                for i in order
+            )
+            print(f"  run {mark}: {line}")
+    return 0
+
+
 # --------------------------------------------------------------------- synth
 def cmd_synth(args):
     """Emit ``{out}/behaviors.tsv`` + ``{out}/news.tsv``: every sampled user
@@ -189,6 +324,21 @@ def main(argv=None):
                    default=["auc", "mrr", "ndcg@5", "ndcg@10"])
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser(
+        "impact", help="rare-news impact analysis across one or two runs")
+    p.add_argument("--behaviors", required=True)
+    p.add_argument("--watchlist", required=True,
+                   help="news ids to watch: text file (one per line) or a "
+                        "pandas pickle with a 'News ID' column")
+    p.add_argument("--run_a", required=True,
+                   help="preds.pkl (or eval dir containing one)")
+    p.add_argument("--run_b", default=None,
+                   help="optional second run for side-by-side rank deltas")
+    p.add_argument("--top", type=int, default=5,
+                   help="print ranked slates for the top-N impressions by "
+                        "watched-item rank movement")
+    p.set_defaults(fn=cmd_impact)
 
     p = sub.add_parser("synth", help="build a synthetic fixed-slate test set")
     p.add_argument("--behaviors", required=True)
