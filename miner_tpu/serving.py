@@ -136,8 +136,9 @@ class MicroBatcher:
                 return
             group = self._drain(first)
             B = len(group)
+            # power-of-two batch buckets: the compiled-shape count stays at
+            # log2(max_batch) and a warmup can enumerate them exactly
             B_pad = 1 if B == 1 else candidate_bucket(B, minimum=2)
-            B_pad = min(B_pad, self.max_batch)
             C_pad = max(candidate_bucket(len(it.cand)) for it in group)
             cand_idx = np.zeros((B_pad, C_pad), np.int32)
             his_idx = np.zeros((B_pad, self.his_length), np.int32)
