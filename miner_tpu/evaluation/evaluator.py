@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -94,17 +94,22 @@ class ImpressionEvaluator:
         self._prob_chunks.append(_sigmoid(logits))
         self._id_chunks.append(impression_ids.astype(np.int64))
 
-    def _grouped_predictions(self) -> List[List[float]]:
+    def _grouped(self) -> Tuple[np.ndarray, List[np.ndarray]]:
+        """(group impression ids, per-group score arrays), groups sorted by
+        impression id; a stable sort keeps within-impression batch order
+        (the reference's dict-append order)."""
         if not self._prob_chunks:
-            return []
+            return np.empty((0,), np.int64), []
         probs = np.concatenate(self._prob_chunks)
         ids = np.concatenate(self._id_chunks)
-        # stable sort by impression id keeps within-impression batch order
-        # (the reference's dict-append order)
         order = np.argsort(ids, kind="stable")
         ids, probs = ids[order], probs[order]
         boundaries = np.flatnonzero(np.diff(ids)) + 1
-        return [g.tolist() for g in np.split(probs, boundaries)]
+        group_ids = np.concatenate([ids[:1], ids[boundaries]])
+        return group_ids, np.split(probs, boundaries)
+
+    def _grouped_predictions(self) -> List[List[float]]:
+        return [g.tolist() for g in self._grouped()[1]]
 
     def compute_scores(self, metrics: Sequence[str], save_result: bool = False,
                        path: str | None = None) -> Dict[str, float]:
@@ -126,19 +131,12 @@ class ImpressionEvaluator:
         reference has no equivalent writer (its preds.pkl requires notebook
         post-processing to submit).
         """
-        if not self._prob_chunks:
+        group_ids, groups = self._grouped()
+        if not groups:
             raise ValueError("no predictions accumulated")
-        probs = np.concatenate(self._prob_chunks)
-        ids = np.concatenate(self._id_chunks)
-        order = np.argsort(ids, kind="stable")
-        ids, probs = ids[order], probs[order]
-        boundaries = np.flatnonzero(np.diff(ids)) + 1
         out = os.path.join(path, filename)
         with open(out, "w") as f:
-            for imp_id, group in zip(
-                np.concatenate([[ids[0]], ids[boundaries]]) if len(ids) else [],
-                np.split(probs, boundaries),
-            ):
+            for imp_id, group in zip(group_ids, groups):
                 # rank 1 = best; double-argsort converts scores to ranks
                 ranks = (-group).argsort(kind="stable").argsort() + 1
                 f.write(f"{int(imp_id)} [{','.join(map(str, ranks.tolist()))}]\n")

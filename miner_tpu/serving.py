@@ -129,12 +129,12 @@ class MicroBatcher:
                 break
         return group
 
-    def _run(self):
-        while True:
-            first = self._q.get()
-            if first is None:
-                return
-            group = self._drain(first)
+    def _score_group(self, group: List[_Pending]):
+        """One padded device call for a same-candidate-bucket group. Every
+        exception — including batch allocation — propagates to the callers
+        instead of killing the worker thread (which would deadlock every
+        queued and future submit)."""
+        try:
             B = len(group)
             # power-of-two batch buckets: the compiled-shape count stays at
             # log2(max_batch) and a warmup can enumerate them exactly
@@ -145,19 +145,36 @@ class MicroBatcher:
             for i, it in enumerate(group):
                 cand_idx[i, : len(it.cand)] = it.cand
                 his_idx[i] = it.his
-            try:
-                scores = np.asarray(self.score_fn(cand_idx, his_idx))
-            except BaseException as e:  # propagate to every caller
-                for it in group:
-                    it.error = e
-                    it.done.set()
-                continue
+            scores = np.asarray(self.score_fn(cand_idx, his_idx))
+            for i, it in enumerate(group):
+                it.scores = scores[i, : len(it.cand)]
+        except BaseException as e:  # propagate to every caller
+            for it in group:
+                it.error = e
+        else:
             with self._lock:
                 self.requests += B
                 self.device_batches += 1
-            for i, it in enumerate(group):
-                it.scores = scores[i, : len(it.cand)]
+        finally:
+            for it in group:
                 it.done.set()
+
+    def _run(self):
+        while True:
+            first = self._q.get()
+            if first is None:
+                return
+            group = self._drain(first)
+            # Partition by candidate bucket: one full-corpus request must
+            # not drag every coalesced small slate up to a (B, corpus)
+            # program (compute x corpus/slate and a fresh XLA compile for
+            # the whole group).
+            by_bucket: dict = {}
+            for it in group:
+                by_bucket.setdefault(candidate_bucket(len(it.cand)),
+                                     []).append(it)
+            for _, sub in sorted(by_bucket.items()):
+                self._score_group(sub)
 
 
 class ScoringService:
@@ -264,8 +281,10 @@ def make_http_server(service: ScoringService, host: str,
                     raise ValueError("'candidates' must be a list or null")
                 topk = req.get("topk")
                 if topk is not None and (not isinstance(topk, int)
-                                         or isinstance(topk, bool)):
-                    raise ValueError("'topk' must be an integer or null")
+                                         or isinstance(topk, bool)
+                                         or topk < 1):
+                    raise ValueError("'topk' must be a positive integer "
+                                     "or null")
                 results = service.score(history, candidates, topk)
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})

@@ -127,6 +127,8 @@ def test_score_errors(served):
     assert status == 400 and "history" in body["error"]
     status, body = _post(url, {"history": ["N1"], "topk": "three"})
     assert status == 400 and "topk" in body["error"]
+    status, body = _post(url, {"history": ["N1"], "topk": -2})
+    assert status == 400 and "topk" in body["error"]
     req = urllib.request.Request(url + "/nope", data=b"{}")
     try:
         urllib.request.urlopen(req)
@@ -181,15 +183,63 @@ def test_microbatcher_coalesces():
     mb.close()
 
 
-def test_microbatcher_propagates_errors():
+def test_microbatcher_propagates_errors_and_survives():
     from miner_tpu.serving import MicroBatcher
 
-    def boom(cand_idx, his_idx):
-        raise RuntimeError("kaboom")
+    calls = {"n": 0}
 
-    mb = MicroBatcher(boom, his_length=2, max_batch=4, max_wait_ms=0)
+    def boom_once(cand_idx, his_idx):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("kaboom")
+        return cand_idx.astype(np.float64)
+
+    mb = MicroBatcher(boom_once, his_length=2, max_batch=4, max_wait_ms=0)
     with pytest.raises(RuntimeError, match="kaboom"):
         mb.submit([1, 2], np.zeros((2,), np.int32))
+    # the worker thread survives the failed batch: later submits still work
+    out = mb.submit([3], np.zeros((2,), np.int32))
+    np.testing.assert_array_equal(out, [3.0])
+    mb.close()
+
+
+def test_microbatcher_groups_by_candidate_bucket():
+    """A huge (corpus-sized) slate in the drain window must not drag the
+    small slates up to its padded width — the drain splits per bucket."""
+    from miner_tpu.serving import MicroBatcher
+
+    shapes = []
+    release = threading.Event()
+
+    def score_fn(cand_idx, his_idx):
+        shapes.append(cand_idx.shape)
+        if len(shapes) == 1:
+            assert release.wait(10)
+        return cand_idx.astype(np.float64)
+
+    mb = MicroBatcher(score_fn, his_length=2, max_batch=8, max_wait_ms=50)
+    results = []
+
+    def submit(n_cand):
+        results.append(mb.submit(list(range(1, n_cand + 1)),
+                                 np.zeros((2,), np.int32)))
+
+    t0 = threading.Thread(target=submit, args=(2,))
+    t0.start()
+    while not shapes:
+        pass
+    rest = [threading.Thread(target=submit, args=(n,)) for n in (3, 5, 200)]
+    for t in rest:
+        t.start()
+    while mb._q.qsize() < 3:
+        pass
+    release.set()
+    for t in [t0, *rest]:
+        t.join(10)
+    # first lone call, then one (2, 16) call for the two small slates and a
+    # separate (1, 256) call for the corpus-sized one
+    assert sorted(shapes[1:]) == [(1, 256), (2, 16)]
+    assert mb.device_batches == 3
     mb.close()
 
 

@@ -213,3 +213,24 @@ def test_impact_cmd(tmp_path, capsys):
     out = capsys.readouterr().out
     assert json.loads(out.splitlines()[0])["evaluated_with_watched"] == 2
     assert "impression 1" in out  # N6 ranks 2 of 2 -> worst watched rank
+
+
+def test_impact_unlabeled_test_format(tmp_path, capsys):
+    """MIND *test*-split behaviors carry bare candidate ids (no -label);
+    containment still works, label-specific counts stay zero."""
+    behaviors = tmp_path / "behaviors.tsv"
+    behaviors.write_text("0\tU0\tt\tN1\tN5 N3 N4\n1\tU1\tt\tN2\tN2 N6\n")
+    watch = tmp_path / "watch.txt"
+    watch.write_text("N5\n")
+    pa = tmp_path / "a.pkl"
+    pa.write_bytes(pickle.dumps({0: [0.1, 0.5, 0.9]}))
+    rc = analyze_preds.main(
+        ["impact", "--behaviors", str(behaviors), "--watchlist", str(watch),
+         "--run_a", str(pa), "--top", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    stats = json.loads(out.splitlines()[0])
+    assert stats["with_watched_candidate"] == 1
+    assert stats["with_watched_positive"] == 0
+    assert stats["evaluated_with_watched"] == 1
+    assert "run A: N4 N3 N5*" in out

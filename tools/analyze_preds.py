@@ -37,16 +37,10 @@ import numpy as np
 
 # --------------------------------------------------------------------- preds
 def cmd_preds(args):
-    with open(args.preds, "rb") as f:
-        raw = pickle.load(f)
     # canonical dump format: {'pred': flat scores, 'impression_id': flat ids}
-    # (reference: src/evaluation.py:173-175); also accept {iid: [scores]}.
-    if set(raw.keys()) >= {"pred", "impression_id"}:
-        preds = {}
-        for score, iid in zip(raw["pred"], raw["impression_id"]):
-            preds.setdefault(int(iid), []).append(float(score))
-    else:
-        preds = raw
+    # (reference: src/evaluation.py:173-175); also accept {iid: [scores]}
+    # and an eval run dir containing preds.pkl (_load_preds_dict).
+    preds = _load_preds_dict(args.preds)
     sizes = np.array([len(v) for v in preds.values()])
     scores = np.concatenate([np.asarray(v, dtype=np.float64) for v in preds.values()])
     print(f"impressions: {len(preds)}")
@@ -156,9 +150,11 @@ def _parse_candidates(behaviors_path):
                 continue
             slate = []
             for tok in cols[4].split():
-                nid, _, label = tok.rpartition("-")
-                if nid:
+                nid, sep, label = tok.rpartition("-")
+                if sep and label.isdigit():
                     slate.append((nid, int(label)))
+                else:  # MIND test format: bare unlabeled candidate ids
+                    slate.append((tok, None))
             out[line_no] = slate
     return out
 

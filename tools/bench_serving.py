@@ -48,10 +48,23 @@ def _requests(service, n, slate, seed=0):
 
 
 def bench_sequential(service, reqs):
-    service.score(*reqs[0])  # compile
+    """True B=1 baseline: raw (1, C_bucket) device calls, bypassing the
+    MicroBatcher so the drain-window wait doesn't deflate the baseline."""
+    from miner_tpu.serving import candidate_bucket
+
+    def one(his, cand):
+        c_pad = candidate_bucket(len(cand))
+        cand_idx = np.zeros((1, c_pad), np.int32)
+        cand_idx[0, : len(cand)] = [service._idx_of(n) for n in cand]
+        his_idx = np.zeros((1, service.his_length), np.int32)
+        rows = [service._idx_of(n) for n in his]
+        his_idx[0, service.his_length - len(rows):] = rows
+        return service._score_batch(cand_idx, his_idx)
+
+    one(*reqs[0])  # compile
     t0 = time.perf_counter()
     for his, cand in reqs:
-        service.score(his, cand)
+        one(his, cand)
     return len(reqs) / (time.perf_counter() - t0)
 
 
