@@ -225,6 +225,22 @@ class ScoringService:
     ) -> List[Tuple[str, float]]:
         """Ranked (news_id, score) for one request."""
         his = [self._idx_of(n) for n in history]
+        H = min(len(his), self.his_length)
+        his_row = np.zeros((self.his_length,), np.int32)
+        his_row[self.his_length - H:] = his[len(his) - H:]
+
+        if candidates is None and topk is not None:
+            # whole-corpus + topk: rank on device, move only k scores
+            # (k bucketed so distinct topk values share compiled programs)
+            ctx = self.ctx
+            k = min(topk, self.num_news - 1)
+            vals, rows = self.trainer.serve_topk(
+                ctx.model, ctx.kind, ctx.params, ctx.cache,
+                his_row[None], candidate_bucket(k),
+            )
+            return [(self._row_to_id.get(int(r), str(int(r))), float(v))
+                    for v, r in zip(vals[0, :k], rows[0, :k])]
+
         if candidates is not None:
             cand = [self._idx_of(n) for n in candidates]
             cand_ids = list(candidates)
@@ -233,10 +249,6 @@ class ScoringService:
             cand_ids = [self._row_to_id.get(i, str(i)) for i in cand]
         if not cand:
             return []
-
-        H = min(len(his), self.his_length)
-        his_row = np.zeros((self.his_length,), np.int32)
-        his_row[self.his_length - H:] = his[len(his) - H:]
 
         scores = self.batcher.submit(cand, his_row)
         order = np.argsort(-scores)

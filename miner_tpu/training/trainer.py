@@ -961,23 +961,25 @@ class Trainer:
             return store.id_to_row[nid]
 
         his = [idx_of(n) for n in a.user_history]
-        if a.candidates:
-            cand = [idx_of(n) for n in a.candidates]
-            cand_ids = list(a.candidates)
-        else:
-            cand = list(range(1, store.num_news))  # skip the pad row 0
-            row_to_id = {v: k for k, v in store.id_to_row.items()}
-            cand_ids = [row_to_id.get(i, str(i)) for i in cand]
-
         H = min(len(his), a.his_length)
         his_idx = np.zeros((1, a.his_length), np.int32)
         his_idx[0, -H:] = his[-H:]  # left-pad, recency at the end
-        cand_idx = np.asarray(cand, np.int32)[None, :]
 
-        scores = self.serve_scores(ctx.model, ctx.kind, ctx.params, ctx.cache,
-                                   cand_idx, his_idx)[0]
-        order = np.argsort(-scores)[: a.topk]
-        results = [(cand_ids[i], float(scores[i])) for i in order]
+        if a.candidates:
+            cand = [idx_of(n) for n in a.candidates]
+            cand_idx = np.asarray(cand, np.int32)[None, :]
+            scores = self.serve_scores(ctx.model, ctx.kind, ctx.params,
+                                       ctx.cache, cand_idx, his_idx)[0]
+            order = np.argsort(-scores)[: a.topk]
+            results = [(a.candidates[i], float(scores[i])) for i in order]
+        else:
+            # whole corpus: rank on device, move only top-k off-chip
+            row_to_id = {v: k for k, v in store.id_to_row.items()}
+            k = min(a.topk, store.num_news - 1)
+            vals, rows = self.serve_topk(ctx.model, ctx.kind, ctx.params,
+                                         ctx.cache, his_idx, k)
+            results = [(row_to_id.get(int(r), str(int(r))), float(v))
+                       for v, r in zip(vals[0, :k], rows[0, :k])]
         for nid, sc in results:
             print(f"{nid}\t{sc:.4f}")
         return results
@@ -1045,6 +1047,54 @@ class Trainer:
             jnp.asarray(his_idx, jnp.int32),
         )
         return np.asarray(jax.device_get(logits))
+
+    def serve_topk(self, model, kind: str, params, cache,
+                   his_idx: np.ndarray, k: int):
+        """Whole-corpus top-k on device: (B, H) history rows ->
+        (scores (B, k), news rows (B, k)).
+
+        The corpus candidate list (every row but pad 0, padded to a
+        power-of-two bucket for the fused kernel) is generated INSIDE the
+        jitted program and ranked with ``jax.lax.top_k``, so a
+        ``candidates: null`` serving request moves O(k) floats over the
+        host link instead of O(corpus) — on a remote-device link the
+        transfer, not the scoring, is the corpus-request bottleneck.
+        Compiled once per (model, kind, fused-path, k); callers should
+        bucket k."""
+        fns = getattr(self, "_serve_topk_fns", None)
+        if fns is None:
+            fns = self._serve_topk_fns = {}
+        V = int(cache.embeddings.shape[0])
+        C = V - 1  # corpus candidates: rows 1..V-1 (0 is the pad news)
+        k = min(int(k), C)
+        key = (id(model), kind, cache.category_pad_id, cache.mesh is None, k)
+        if key not in fns:
+            scores_fn = self._make_cached_scores_fn(
+                model, kind, cache.category_pad_id,
+                fused_ok=cache.mesh is None,
+            )
+            from miner_tpu.serving import candidate_bucket
+
+            C_pad = candidate_bucket(C)
+
+            def topk_fn(params, cache_emb, cache_emb_score, cache_cat,
+                        his_idx):
+                B = his_idx.shape[0]
+                row = jnp.arange(C_pad, dtype=jnp.int32) + 1
+                row = jnp.where(row <= C, row, 0)  # bucket tail -> pad news
+                cand_idx = jnp.broadcast_to(row[None], (B, C_pad))
+                _, logits = scores_fn(params, cache_emb, cache_emb_score,
+                                      cache_cat, cand_idx, his_idx)
+                logits = jnp.where(row[None] > 0, logits, -jnp.inf)
+                vals, pos = jax.lax.top_k(logits, k)
+                return vals, pos + 1  # position i scores news row i+1
+
+            fns[key] = jax.jit(topk_fn)
+        vals, rows = fns[key](
+            params, cache.embeddings, cache.scoring_embeddings,
+            cache.category, jnp.asarray(his_idx, jnp.int32),
+        )
+        return np.asarray(jax.device_get(vals)), np.asarray(jax.device_get(rows))
 
 
 def _ckpt_payload(state: TrainState):

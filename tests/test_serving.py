@@ -119,6 +119,19 @@ def test_score_whole_corpus_topk(served):
     assert all(i.startswith("N") for i in ids)
 
 
+def test_corpus_topk_matches_full_scoring(served):
+    """candidates=null + topk ranks on device (Trainer.serve_topk, O(k)
+    transfer) and must agree with the full-corpus host-sorted path."""
+    _, service, _, _ = served
+    full = service.score(["N1", "N3"], None, None)
+    top = service.score(["N1", "N3"], None, 4)
+    assert [nid for nid, _ in top] == [nid for nid, _ in full[:4]]
+    np.testing.assert_allclose([s for _, s in top],
+                               [s for _, s in full[:4]],
+                               rtol=5e-4, atol=1e-5)
+    assert len(service.trainer._serve_topk_fns) == 1
+
+
 def test_score_errors(served):
     url, _, _, _ = served
     status, body = _post(url, {"history": ["NOPE"], "candidates": ["N7"]})
