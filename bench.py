@@ -492,6 +492,24 @@ def main():
     jax.devices()  # force backend init under the watchdog
     booted.set()
 
+    # Second wedge mode (observed): enumeration succeeds but the first
+    # program *execution* hangs in the tunnel. Cap the whole bench run —
+    # generous enough for cold compiles (~990s for the canonical train
+    # step) plus every leg, but finite so the harness gets a diagnosable
+    # exit instead of an eternal hang.
+    done = threading.Event()
+    total_s = float(os.environ.get("MINER_TPU_BENCH_TIMEOUT", "5400"))
+
+    def _run_watchdog():
+        if not done.wait(total_s):
+            print(
+                f"bench: did not finish in {total_s:.0f}s (remote TPU "
+                "execution wedged?) — aborting", file=sys.stderr, flush=True,
+            )
+            os._exit(4)
+
+    threading.Thread(target=_run_watchdog, daemon=True).start()
+
     # dropout-mask generation via the TPU hardware rbg PRNG (see
     # training/trainer.py:_configure_prng)
     if jax.default_backend() not in ("cpu", "gpu"):
@@ -561,6 +579,7 @@ def main():
         "mfu": details.get("mfu"),
         "details": details,
     }))
+    done.set()
 
 
 if __name__ == "__main__":
