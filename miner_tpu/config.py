@@ -67,6 +67,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve_batch_wait_ms", type=float, default=2.0,
                    help="how long the batcher waits after the first request "
                         "of a drain window for more to coalesce")
+    p.add_argument("--serve_warmup_slates", type=int, nargs="*", default=[],
+                   help="pre-compile scoring programs for these slate sizes "
+                        "(every batch bucket each, plus the corpus top-k "
+                        "program) before accepting traffic")
     return parser
 
 

@@ -207,6 +207,35 @@ class ScoringService:
             ctx.model, ctx.kind, ctx.params, ctx.cache, cand_idx, his_idx
         )
 
+    def warmup(self, slate_sizes: Sequence[int], topk: Optional[int] = None,
+               max_b: Optional[int] = None) -> int:
+        """Pre-compile the scoring programs live traffic will hit: every
+        (B_bucket, C_bucket) shape for the given slate sizes up to the
+        micro-batcher's max batch, plus the corpus top-k program. Returns
+        the number of programs executed (first executions compile; later
+        server starts ride the persistent XLA compilation cache)."""
+        n = 0
+        cap = self.batcher.max_batch if max_b is None else max_b
+        for slate in slate_sizes:
+            c_pad = candidate_bucket(slate)
+            b = 1
+            while True:
+                self._score_batch(np.zeros((b, c_pad), np.int32),
+                                  np.zeros((b, self.his_length), np.int32))
+                n += 1
+                if b >= cap:
+                    break
+                b = 2 if b == 1 else b * 2
+        if topk is not None:
+            ctx = self.ctx
+            self.trainer.serve_topk(
+                ctx.model, ctx.kind, ctx.params, ctx.cache,
+                np.zeros((1, self.his_length), np.int32),
+                candidate_bucket(min(topk, self.num_news - 1)),
+            )
+            n += 1
+        return n
+
     @property
     def num_news(self) -> int:
         return self.ctx.store.num_news
@@ -312,6 +341,11 @@ def make_http_server(service: ScoringService, host: str,
 def serve(trainer, host: str, port: int) -> None:
     """Build the service (corpus encode happens here) and serve forever."""
     service = ScoringService(trainer)
+    a = trainer.args
+    slates = getattr(a, "serve_warmup_slates", None)
+    if slates:
+        n = service.warmup(slates, topk=getattr(a, "topk", None))
+        print(f"warmed {n} scoring programs for slates {slates}")
     server = make_http_server(service, host, port)
     print(f"serving {service.num_news} news on http://{host}:{server.server_address[1]}")
     try:

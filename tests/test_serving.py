@@ -287,6 +287,16 @@ def test_concurrent_requests_match_sequential(served):
                                        atol=1e-5)
 
 
+def test_warmup_compiles_serving_programs(served):
+    """warmup() pre-executes every (B_bucket, C_bucket) program for the
+    given slates plus the corpus top-k program, and traffic still works."""
+    _, service, _, _ = served
+    n = service.warmup([3], topk=4, max_b=4)
+    assert n == 4  # B in {1, 2, 4} at C_bucket 16, + corpus top-k
+    r = service.score(["N1"], ["N7", "N8", "N2"])
+    assert len(r) == 3
+
+
 def test_bucketed_slates_share_compiled_program(served):
     """Different candidate counts inside one bucket reuse one jitted shape;
     the trainer-level program cache stays at one entry per (model, kind)."""

@@ -68,23 +68,11 @@ def bench_sequential(service, reqs):
     return len(reqs) / (time.perf_counter() - t0)
 
 
-def _warm_batched_shapes(service, slate, clients):
-    """Compile every (B_bucket, C_bucket) program the drain can produce so
-    the timed window measures steady-state serving, not XLA compiles."""
-    from miner_tpu.serving import candidate_bucket
-
-    c_pad = candidate_bucket(slate)
-    b = 1
-    while True:
-        service._score_batch(np.zeros((b, c_pad), np.int32),
-                             np.zeros((b, service.his_length), np.int32))
-        if b >= min(service.batcher.max_batch, max(clients, 1)):
-            break
-        b = 2 if b == 1 else b * 2
-
-
 def bench_concurrent(service, reqs, clients):
-    _warm_batched_shapes(service, len(reqs[0][1]), clients)
+    # compile every (B_bucket, C_bucket) program the drain can produce so
+    # the timed window measures steady-state serving, not XLA compiles
+    service.warmup([len(reqs[0][1])],
+                   max_b=min(service.batcher.max_batch, max(clients, 1)))
     b0 = service.batcher.device_batches
     it = iter(reqs)
     lock = threading.Lock()
