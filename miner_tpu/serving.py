@@ -40,14 +40,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-
-def candidate_bucket(n: int, minimum: int = 16) -> int:
-    """Next power of two >= max(n, minimum) — bounds the number of compiled
-    scoring-program shapes at log2(corpus)."""
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+from miner_tpu.utils import candidate_bucket  # noqa: F401  (canonical home)
 
 
 class _Pending:
@@ -207,6 +200,14 @@ class ScoringService:
             ctx.model, ctx.kind, ctx.params, ctx.cache, cand_idx, his_idx
         )
 
+    def _his_row(self, his: Sequence[int]) -> np.ndarray:
+        """(his_length,) history rows, left-padded with the pad news and
+        truncated to the most recent clicks (recency at the end)."""
+        H = min(len(his), self.his_length)
+        row = np.zeros((self.his_length,), np.int32)
+        row[self.his_length - H:] = his[len(his) - H:]
+        return row
+
     def warmup(self, slate_sizes: Sequence[int], topk: Optional[int] = None,
                max_b: Optional[int] = None) -> int:
         """Pre-compile the scoring programs live traffic will hit: every
@@ -253,10 +254,7 @@ class ScoringService:
         topk: Optional[int] = None,
     ) -> List[Tuple[str, float]]:
         """Ranked (news_id, score) for one request."""
-        his = [self._idx_of(n) for n in history]
-        H = min(len(his), self.his_length)
-        his_row = np.zeros((self.his_length,), np.int32)
-        his_row[self.his_length - H:] = his[len(his) - H:]
+        his_row = self._his_row([self._idx_of(n) for n in history])
 
         if candidates is None and topk is not None:
             # whole-corpus + topk: rank on device, move only k scores
@@ -344,7 +342,9 @@ def serve(trainer, host: str, port: int) -> None:
     a = trainer.args
     slates = getattr(a, "serve_warmup_slates", None)
     if slates:
-        n = service.warmup(slates, topk=getattr(a, "topk", None))
+        # topk=16 warms the corpus top-k program's smallest bucket, which
+        # serves every request with topk <= 16 (the common slate depth)
+        n = service.warmup(slates, topk=16)
         print(f"warmed {n} scoring programs for slates {slates}")
     server = make_http_server(service, host, port)
     print(f"serving {service.num_news} news on http://{host}:{server.server_address[1]}")

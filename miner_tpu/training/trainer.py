@@ -1073,7 +1073,7 @@ class Trainer:
                 model, kind, cache.category_pad_id,
                 fused_ok=cache.mesh is None,
             )
-            from miner_tpu.serving import candidate_bucket
+            from miner_tpu.utils import candidate_bucket
 
             C_pad = candidate_bucket(C)
 

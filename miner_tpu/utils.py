@@ -7,6 +7,16 @@ import jax
 import jax.numpy as jnp
 
 
+def candidate_bucket(n: int, minimum: int = 16) -> int:
+    """Next power of two >= max(n, minimum) — bounds the number of compiled
+    scoring-program shapes at log2(corpus). Shared by the serving layer
+    (slate/batch padding) and the trainer's corpus top-k program."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def pairwise_cosine_similarity(
     x: jax.Array, y: jax.Array, zero_diagonal: bool = False
 ) -> jax.Array:

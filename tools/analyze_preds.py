@@ -185,7 +185,7 @@ def cmd_impact(args):
     preds_a = _load_preds_dict(args.run_a)
     preds_b = _load_preds_dict(args.run_b) if args.run_b else None
 
-    rows = []  # (imp_id, watched ranks A, ranks B, max |delta|)
+    rows = []  # (imp_id, ranks A, ranks B|None, watched slate idxs, delta)
     skipped = 0
     for iid, scores_a in preds_a.items():
         slate = slates.get(iid)

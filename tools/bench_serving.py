@@ -56,9 +56,7 @@ def bench_sequential(service, reqs):
         c_pad = candidate_bucket(len(cand))
         cand_idx = np.zeros((1, c_pad), np.int32)
         cand_idx[0, : len(cand)] = [service._idx_of(n) for n in cand]
-        his_idx = np.zeros((1, service.his_length), np.int32)
-        rows = [service._idx_of(n) for n in his]
-        his_idx[0, service.his_length - len(rows):] = rows
+        his_idx = service._his_row([service._idx_of(n) for n in his])[None]
         return service._score_batch(cand_idx, his_idx)
 
     one(*reqs[0])  # compile
