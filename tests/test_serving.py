@@ -7,6 +7,7 @@ import os
 import threading
 import urllib.request
 
+import jax
 import numpy as np
 import pytest
 
@@ -285,6 +286,28 @@ def test_concurrent_requests_match_sequential(served):
         for nid in want:
             np.testing.assert_allclose(got[nid], want[nid], rtol=5e-4,
                                        atol=1e-5)
+
+
+def test_sharded_cache_serving_matches(served):
+    """Serving over a row-sharded news cache (table axis 4) must reproduce
+    the table=1 service on both the slate path and the corpus top-k path
+    (which falls back to the XLA reference scorer under a sharded cache)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    _, service, base, _ = served
+    args_s = make_parser().parse_args(
+        ["serve", *base, "--mesh_data", "2", "--mesh_table", "4"])
+    sharded = ScoringService(Trainer(args_s))
+    assert sharded.ctx.cache.mesh is not None
+    try:
+        for cands in (["N7", "N8", "N2"], None):
+            a = service.score(["N1", "N3"], cands, 3)
+            b = sharded.score(["N1", "N3"], cands, 3)
+            assert [n for n, _ in a] == [n for n, _ in b]
+            np.testing.assert_allclose([s for _, s in a], [s for _, s in b],
+                                       rtol=5e-4, atol=1e-5)
+    finally:
+        sharded.batcher.close()
 
 
 def test_warmup_compiles_serving_programs(served):
