@@ -46,13 +46,15 @@ from miner_tpu.utils import candidate_bucket  # noqa: F401  (canonical home)
 class _Pending:
     """One enqueued scoring request (internal to MicroBatcher)."""
 
-    __slots__ = ("cand", "his", "done", "scores", "error")
+    __slots__ = ("cand", "his", "k", "done", "scores", "error")
 
-    def __init__(self, cand: np.ndarray, his: np.ndarray):
-        self.cand = cand  # (C,) candidate rows, C <= some bucket
+    def __init__(self, cand: Optional[np.ndarray], his: np.ndarray,
+                 k: Optional[int] = None):
+        self.cand = cand  # (C,) candidate rows, C <= some bucket (slate req)
         self.his = his  # (H,) history rows, fixed H
+        self.k = k  # corpus top-k request when not None (cand is None)
         self.done = threading.Event()
-        self.scores: Optional[np.ndarray] = None
+        self.scores = None  # (C,) scores | (vals (k,), rows (k,)) for top-k
         self.error: Optional[BaseException] = None
 
 
@@ -78,8 +80,13 @@ class MicroBatcher:
 
     def __init__(self, score_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
                  his_length: int, max_batch: int = 32,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 topk_fn: Optional[Callable[[np.ndarray, int],
+                                            Tuple[np.ndarray, np.ndarray]]] = None):
         self.score_fn = score_fn
+        # (his_idx (B, H), k) -> (vals (B, k), rows (B, k)): whole-corpus
+        # top-k requests coalesce through the same worker when provided
+        self.topk_fn = topk_fn
         self.his_length = int(his_length)
         self.max_batch = max(1, int(max_batch))
         self.max_wait_s = max(0.0, float(max_wait_ms)) / 1e3
@@ -94,6 +101,19 @@ class MicroBatcher:
     def submit(self, cand: Sequence[int], his: np.ndarray) -> np.ndarray:
         """Blocking: returns the (len(cand),) scores for one request."""
         item = _Pending(np.asarray(cand, np.int32), np.asarray(his, np.int32))
+        return self._wait(item)
+
+    def submit_topk(self, his: np.ndarray,
+                    k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking: (scores (k,), news rows (k,)) over the whole corpus.
+        Concurrent top-k requests with the same k bucket coalesce into one
+        batched ``topk_fn`` call."""
+        if self.topk_fn is None:
+            raise RuntimeError("MicroBatcher built without a topk_fn")
+        item = _Pending(None, np.asarray(his, np.int32), k=int(k))
+        return self._wait(item)
+
+    def _wait(self, item: _Pending):
         self._q.put(item)
         item.done.wait()
         if item.error is not None:
@@ -152,22 +172,52 @@ class MicroBatcher:
             for it in group:
                 it.done.set()
 
+    def _topk_group(self, group: List[_Pending], k_bucket: int):
+        """One batched whole-corpus top-k call for same-k-bucket requests;
+        each caller gets its own (vals[:k], rows[:k])."""
+        try:
+            B = len(group)
+            B_pad = 1 if B == 1 else candidate_bucket(B, minimum=2)
+            his_idx = np.zeros((B_pad, self.his_length), np.int32)
+            for i, it in enumerate(group):
+                his_idx[i] = it.his
+            vals, rows = self.topk_fn(his_idx, k_bucket)
+            # topk_fn may clamp k_bucket to the corpus size
+            avail = vals.shape[1]
+            for i, it in enumerate(group):
+                k = min(it.k, avail)
+                it.scores = (vals[i, :k], rows[i, :k])
+        except BaseException as e:  # propagate to every caller
+            for it in group:
+                it.error = e
+        else:
+            with self._lock:
+                self.requests += B
+                self.device_batches += 1
+        finally:
+            for it in group:
+                it.done.set()
+
     def _run(self):
         while True:
             first = self._q.get()
             if first is None:
                 return
             group = self._drain(first)
-            # Partition by candidate bucket: one full-corpus request must
-            # not drag every coalesced small slate up to a (B, corpus)
-            # program (compute x corpus/slate and a fresh XLA compile for
-            # the whole group).
+            # Partition by (kind, bucket): one full-corpus request must not
+            # drag every coalesced small slate up to a (B, corpus) program
+            # (compute x corpus/slate and a fresh XLA compile for the whole
+            # group), and top-k requests run a different program entirely.
             by_bucket: dict = {}
             for it in group:
-                by_bucket.setdefault(candidate_bucket(len(it.cand)),
-                                     []).append(it)
-            for _, sub in sorted(by_bucket.items()):
-                self._score_group(sub)
+                key = (("topk", candidate_bucket(it.k)) if it.k is not None
+                       else ("slate", candidate_bucket(len(it.cand))))
+                by_bucket.setdefault(key, []).append(it)
+            for (kind, bucket), sub in sorted(by_bucket.items()):
+                if kind == "topk":
+                    self._topk_group(sub, bucket)
+                else:
+                    self._score_group(sub)
 
 
 class ScoringService:
@@ -191,6 +241,7 @@ class ScoringService:
             if max_batch is None else max_batch,
             max_wait_ms=getattr(a, "serve_batch_wait_ms", 2.0)
             if batch_wait_ms is None else batch_wait_ms,
+            topk_fn=self._topk_batch,
         )
 
     def _score_batch(self, cand_idx: np.ndarray,
@@ -198,6 +249,12 @@ class ScoringService:
         ctx = self.ctx
         return self.trainer.serve_scores(
             ctx.model, ctx.kind, ctx.params, ctx.cache, cand_idx, his_idx
+        )
+
+    def _topk_batch(self, his_idx: np.ndarray, k: int):
+        ctx = self.ctx
+        return self.trainer.serve_topk(
+            ctx.model, ctx.kind, ctx.params, ctx.cache, his_idx, k
         )
 
     def _his_row(self, his: Sequence[int]) -> np.ndarray:
@@ -212,29 +269,33 @@ class ScoringService:
                max_b: Optional[int] = None) -> int:
         """Pre-compile the scoring programs live traffic will hit: every
         (B_bucket, C_bucket) shape for the given slate sizes up to the
-        micro-batcher's max batch, plus the corpus top-k program. Returns
-        the number of programs executed (first executions compile; later
-        server starts ride the persistent XLA compilation cache)."""
-        n = 0
+        micro-batcher's max batch, plus the corpus top-k programs over the
+        same batch buckets. Returns the number of programs executed (first
+        executions compile; later server starts ride the persistent XLA
+        compilation cache)."""
         cap = self.batcher.max_batch if max_b is None else max_b
-        for slate in slate_sizes:
-            c_pad = candidate_bucket(slate)
+
+        def b_buckets():
             b = 1
             while True:
+                yield b
+                if b >= cap:
+                    return
+                b = 2 if b == 1 else b * 2
+
+        n = 0
+        for slate in slate_sizes:
+            c_pad = candidate_bucket(slate)
+            for b in b_buckets():
                 self._score_batch(np.zeros((b, c_pad), np.int32),
                                   np.zeros((b, self.his_length), np.int32))
                 n += 1
-                if b >= cap:
-                    break
-                b = 2 if b == 1 else b * 2
         if topk is not None:
-            ctx = self.ctx
-            self.trainer.serve_topk(
-                ctx.model, ctx.kind, ctx.params, ctx.cache,
-                np.zeros((1, self.his_length), np.int32),
-                candidate_bucket(min(topk, self.num_news - 1)),
-            )
-            n += 1
+            k_pad = candidate_bucket(min(topk, self.num_news - 1))
+            for b in b_buckets():
+                self._topk_batch(np.zeros((b, self.his_length), np.int32),
+                                 k_pad)
+                n += 1
         return n
 
     @property
@@ -257,16 +318,14 @@ class ScoringService:
         his_row = self._his_row([self._idx_of(n) for n in history])
 
         if candidates is None and topk is not None:
-            # whole-corpus + topk: rank on device, move only k scores
-            # (k bucketed so distinct topk values share compiled programs)
-            ctx = self.ctx
+            # whole-corpus + topk: rank on device, move only k scores off
+            # chip; concurrent top-k requests coalesce through the
+            # micro-batcher (k bucketed so distinct topk values share
+            # compiled programs)
             k = min(topk, self.num_news - 1)
-            vals, rows = self.trainer.serve_topk(
-                ctx.model, ctx.kind, ctx.params, ctx.cache,
-                his_row[None], candidate_bucket(k),
-            )
+            vals, rows = self.batcher.submit_topk(his_row, k)
             return [(self._row_to_id.get(int(r), str(int(r))), float(v))
-                    for v, r in zip(vals[0, :k], rows[0, :k])]
+                    for v, r in zip(vals, rows)]
 
         if candidates is not None:
             cand = [self._idx_of(n) for n in candidates]

@@ -312,12 +312,56 @@ def test_sharded_cache_serving_matches(served):
 
 def test_warmup_compiles_serving_programs(served):
     """warmup() pre-executes every (B_bucket, C_bucket) program for the
-    given slates plus the corpus top-k program, and traffic still works."""
+    given slates plus the corpus top-k programs, and traffic still works."""
     _, service, _, _ = served
     n = service.warmup([3], topk=4, max_b=4)
-    assert n == 4  # B in {1, 2, 4} at C_bucket 16, + corpus top-k
+    assert n == 6  # B in {1, 2, 4} at C_bucket 16, + top-k at B {1, 2, 4}
     r = service.score(["N1"], ["N7", "N8", "N2"])
     assert len(r) == 3
+
+
+def test_concurrent_topk_requests_coalesce_and_match(served):
+    """Concurrent whole-corpus top-k requests coalesce into one batched
+    serve_topk call and return the same ranking as isolated requests."""
+    _, service, _, _ = served
+    hists = [["N1"], ["N3"], ["N1", "N3"], ["N5"]]
+    sequential = [service.score(h, None, 3) for h in hists]
+    before = service.batcher.device_batches
+
+    out = {}
+    barrier = threading.Barrier(len(hists))
+
+    def hit(i):
+        barrier.wait()
+        out[i] = service.score(hists[i], None, 3)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in
+               range(len(hists))]
+    old_wait = service.batcher.max_wait_s
+    service.batcher.max_wait_s = 0.2  # generous drain window: determinism
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+    finally:
+        service.batcher.max_wait_s = old_wait
+    for i, want in enumerate(sequential):
+        assert [n for n, _ in out[i]] == [n for n, _ in want]
+        np.testing.assert_allclose([s for _, s in out[i]],
+                                   [s for _, s in want],
+                                   rtol=5e-4, atol=1e-5)
+    # fewer device calls than requests => at least one batched top-k group
+    assert service.batcher.device_batches - before < len(hists)
+
+
+def test_microbatcher_topk_requires_topk_fn():
+    from miner_tpu.serving import MicroBatcher
+
+    mb = MicroBatcher(lambda c, h: c.astype(np.float64), his_length=2)
+    with pytest.raises(RuntimeError, match="topk_fn"):
+        mb.submit_topk(np.zeros((2,), np.int32), 4)
+    mb.close()
 
 
 def test_bucketed_slates_share_compiled_program(served):
