@@ -55,6 +55,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--candidates", nargs="*", default=None,
                    help="candidate news ids (default: whole corpus)")
     p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--serve_cache_path", type=str, default=None,
+                   help="persist/reuse the corpus news-embedding cache "
+                        "(repeat recommend calls skip the corpus PLM pass)")
     p = sub.add_parser("serve", fromfile_prefix_chars="@", allow_abbrev=False)
     p.convert_arg_line_to_args = convert_arg_line_to_args
     add_eval_arguments(p)
@@ -71,6 +74,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="pre-compile scoring programs for these slate sizes "
                         "(every batch bucket each, plus the corpus top-k "
                         "program) before accepting traffic")
+    p.add_argument("--serve_cache_path", type=str, default=None,
+                   help="persist the corpus news-embedding cache here; "
+                        "restarts load it (skipping the corpus PLM pass) "
+                        "when the corpus+checkpoint fingerprint matches")
     return parser
 
 

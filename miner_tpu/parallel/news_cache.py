@@ -99,6 +99,82 @@ class NewsEmbeddingCache:
         return jnp.einsum("bcd,bkd->bck", cand, interests.astype(cand.dtype))
 
 
+def _place_on_mesh(emb: jax.Array, category: jax.Array,
+                   mesh: Optional[Mesh]):
+    """Row-shard (emb, category) over the mesh's ``table`` axis, padding the
+    row count up to the shard count; no-op without a non-trivial mesh."""
+    if mesh is None or mesh.shape.get(TABLE_AXIS, 1) <= 1:
+        return emb, category
+    R = emb.shape[0]
+    shards = mesh.shape[TABLE_AXIS]
+    R_pad = round_up(R, shards)
+    if R_pad != R:
+        emb = jnp.pad(emb, ((0, R_pad - R), (0, 0)))
+        category = jnp.pad(category, (0, R_pad - R))
+    emb = jax.device_put(emb, NamedSharding(mesh, P(TABLE_AXIS, None)))
+    category = jax.device_put(category, NamedSharding(mesh, P(TABLE_AXIS)))
+    return emb, category
+
+
+def save_cache(cache: NewsEmbeddingCache, path: str, num_rows: int,
+               fingerprint: dict) -> None:
+    """Persist the corpus cache so a serving restart skips the corpus
+    encode entirely (at MIND-large scale the one-time PLM pass over every
+    news item dominates server startup).  Stored host-side as ``.npz``;
+    only the TRUE corpus rows are written (a table-sharded cache carries
+    zero rows padding the corpus to the shard count — re-added at load
+    placement).  bfloat16 has no stable numpy serialization, so raw bits
+    travel as uint16 with the dtype recorded in the metadata.  The caller's
+    ``fingerprint`` (checkpoint + corpus identity) gates ``load_cache``."""
+    import json
+
+    emb = np.asarray(jax.device_get(cache.embeddings))[:num_rows]
+    cat = np.asarray(jax.device_get(cache.category))[:num_rows]
+    dtype = str(emb.dtype)
+    if emb.dtype not in (np.float32, np.float16):
+        emb = emb.view(np.uint16)  # bf16 raw bits
+    meta = dict(fingerprint, dtype=dtype, num_rows=int(num_rows),
+                category_pad_id=int(cache.category_pad_id))
+    tmp = path + ".tmp"
+    np.savez(tmp, embeddings=emb, category=cat,
+             meta=np.frombuffer(json.dumps(meta).encode(), np.uint8))
+    # np.savez appends .npz to names without it; normalize then rename
+    if not tmp.endswith(".npz"):
+        tmp += ".npz"
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_cache(path: str, fingerprint: dict,
+               mesh: Optional[Mesh] = None) -> Optional[NewsEmbeddingCache]:
+    """Load a cache persisted by :func:`save_cache`; returns None when the
+    file is absent or its fingerprint does not match (stale checkpoint,
+    different corpus/tokenization — the caller falls back to a fresh
+    encode)."""
+    import json
+    import os
+
+    import ml_dtypes
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        stored = {k: meta.get(k) for k in fingerprint}
+        if stored != dict(fingerprint):
+            return None
+        emb, cat = z["embeddings"], z["category"]
+    if meta["dtype"] not in ("float32", "float16"):
+        emb = emb.view(ml_dtypes.bfloat16 if meta["dtype"] == "bfloat16"
+                       else np.dtype(meta["dtype"]))
+    emb, cat = _place_on_mesh(jnp.asarray(emb), jnp.asarray(cat), mesh)
+    return NewsEmbeddingCache(
+        embeddings=emb, category=cat,
+        category_pad_id=int(meta["category_pad_id"]), mesh=mesh,
+    )
+
+
 class CacheFiller:
     """One-dispatch corpus fill: the whole news table is encoded inside a
     single jitted ``lax.scan`` over fixed-size chunks.
@@ -146,17 +222,7 @@ class CacheFiller:
              mesh: Optional[Mesh] = None) -> NewsEmbeddingCache:
         emb = self._fill_jit(params, table.title, table.sapo,
                              int(table.pad_token_id))
-        category = table.category
-        if mesh is not None and mesh.shape.get(TABLE_AXIS, 1) > 1:
-            R = emb.shape[0]
-            shards = mesh.shape[TABLE_AXIS]
-            R_pad = round_up(R, shards)
-            if R_pad != R:
-                emb = jnp.pad(emb, ((0, R_pad - R), (0, 0)))
-                category = jnp.pad(category, (0, R_pad - R))
-            emb = jax.device_put(emb, NamedSharding(mesh, P(TABLE_AXIS, None)))
-            category = jax.device_put(
-                category, NamedSharding(mesh, P(TABLE_AXIS)))
+        emb, category = _place_on_mesh(emb, table.category, mesh)
         return NewsEmbeddingCache(
             embeddings=emb,
             category=category,
@@ -199,17 +265,7 @@ def build_cache(
             sapo = smask = None
         chunks.append(encode(title, tmask, sapo, smask))
     emb = jnp.concatenate(chunks, axis=0)[:R]
-
-    category = table.category
-    if mesh is not None and mesh.shape.get(TABLE_AXIS, 1) > 1:
-        # Row-shard over the table axis; pad rows to the shard count.
-        shards = mesh.shape[TABLE_AXIS]
-        R_pad = round_up(R, shards)
-        if R_pad != R:
-            emb = jnp.pad(emb, ((0, R_pad - R), (0, 0)))
-            category = jnp.pad(category, (0, R_pad - R))
-        emb = jax.device_put(emb, NamedSharding(mesh, P(TABLE_AXIS, None)))
-        category = jax.device_put(category, NamedSharding(mesh, P(TABLE_AXIS)))
+    emb, category = _place_on_mesh(emb, table.category, mesh)
     return NewsEmbeddingCache(
         embeddings=emb,
         category=category,

@@ -253,8 +253,11 @@ class ScoringService:
 
     def _topk_batch(self, his_idx: np.ndarray, k: int):
         ctx = self.ctx
+        # num_news: a table-sharded cache pads the corpus with all-zero rows
+        # that must not enter the ranking
         return self.trainer.serve_topk(
-            ctx.model, ctx.kind, ctx.params, ctx.cache, his_idx, k
+            ctx.model, ctx.kind, ctx.params, ctx.cache, his_idx, k,
+            num_news=ctx.store.num_news,
         )
 
     def _his_row(self, his: Sequence[int]) -> np.ndarray:

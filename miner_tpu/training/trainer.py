@@ -977,7 +977,8 @@ class Trainer:
             row_to_id = {v: k for k, v in store.id_to_row.items()}
             k = min(a.topk, store.num_news - 1)
             vals, rows = self.serve_topk(ctx.model, ctx.kind, ctx.params,
-                                         ctx.cache, his_idx, k)
+                                         ctx.cache, his_idx, k,
+                                         num_news=store.num_news)
             results = [(row_to_id.get(int(r), str(int(r))), float(v))
                        for v, r in zip(vals[0, :k], rows[0, :k])]
         for nid, sc in results:
@@ -1016,9 +1017,74 @@ class Trainer:
             ckpt = CheckpointManager(os.path.dirname(a.saved_model_path))
             payload = ckpt.restore(os.path.basename(a.saved_model_path))
             params = payload["params"]
-        cache = self._build_eval_cache(model, params, table)
+        cache = self._load_or_build_serving_cache(model, params, table)
         return ServingContext(store=store, table=table, model=model,
                               kind=kind, params=params, cache=cache)
+
+    def _serving_cache_fingerprint(self) -> Dict:
+        """Identity of a persisted serving cache: the corpus bytes, the
+        tokenization geometry, and the checkpoint files.  Any mismatch
+        invalidates the cached embeddings (they are a pure function of
+        corpus x tokenizer x params).  Checkpoint identity uses the file
+        listing (relpath, size, mtime) — cheap, and false *negatives* only
+        cost a re-encode."""
+        import hashlib
+
+        a = self.args
+        h = hashlib.sha256()
+        with open(a.eval_news_path, "rb") as f:
+            for block in iter(lambda: f.read(1 << 20), b""):
+                h.update(block)
+        ck = hashlib.sha256()
+        root = a.saved_model_path or ""
+        if root and os.path.isdir(root):
+            for dirpath, dirnames, filenames in sorted(os.walk(root)):
+                dirnames.sort()
+                for name in sorted(filenames):
+                    p = os.path.join(dirpath, name)
+                    st = os.stat(p)
+                    ck.update(f"{os.path.relpath(p, root)}:{st.st_size}:"
+                              f"{st.st_mtime_ns}".encode())
+        return {
+            "news_sha": h.hexdigest(),
+            "ckpt_sha": ck.hexdigest(),
+            "tokenizer": str(a.pretrained_tokenizer),
+            "model_name": self.model_name,
+            "plm_preset": str(getattr(a, "plm_preset", "")),
+            "compute_dtype": str(getattr(a, "compute_dtype", "")),
+            "max_title_length": int(a.max_title_length),
+            "max_sapo_length": int(a.max_sapo_length),
+            "use_sapo": bool(a.use_sapo),
+            "combine_type": str(a.combine_type),
+        }
+
+    def _load_or_build_serving_cache(self, model, params, table):
+        """The serving corpus cache, from ``--serve_cache_path`` when a
+        persisted copy matches the current corpus+checkpoint fingerprint
+        (server restarts skip the corpus PLM pass entirely); otherwise one
+        fresh ``CacheFiller`` encode, persisted for next time."""
+        from miner_tpu.parallel.news_cache import load_cache, save_cache
+
+        path = getattr(self.args, "serve_cache_path", None)
+        fp = self._serving_cache_fingerprint() if path else None
+        mesh = self.mesh if self.mesh.devices.size > 1 else None
+        if path:
+            cache = load_cache(path, fp, mesh=mesh)
+            if cache is not None:
+                self._log_serving(f"serving cache loaded from {path}")
+                return cache
+        cache = self._build_eval_cache(model, params, table)
+        if path:
+            save_cache(cache, path, int(table.title.shape[0]), fp)
+            self._log_serving(f"serving cache persisted to {path}")
+        return cache
+
+    def _log_serving(self, msg: str) -> None:
+        log = getattr(self, "_log", None)
+        if log is not None:
+            log.info(msg)
+        else:
+            print(msg)
 
     def serve_scores(self, model, kind: str, params, cache,
                      cand_idx: np.ndarray, his_idx: np.ndarray) -> np.ndarray:
@@ -1049,7 +1115,8 @@ class Trainer:
         return np.asarray(jax.device_get(logits))
 
     def serve_topk(self, model, kind: str, params, cache,
-                   his_idx: np.ndarray, k: int):
+                   his_idx: np.ndarray, k: int,
+                   num_news: Optional[int] = None):
         """Whole-corpus top-k on device: (B, H) history rows ->
         (scores (B, k), news rows (B, k)).
 
@@ -1060,14 +1127,20 @@ class Trainer:
         host link instead of O(corpus) — on a remote-device link the
         transfer, not the scoring, is the corpus-request bottleneck.
         Compiled once per (model, kind, fused-path, k); callers should
-        bucket k."""
+        bucket k.
+
+        ``num_news`` is the TRUE news-store row count; a table-sharded
+        cache carries extra all-zero rows padding the corpus to the shard
+        count, and those must not enter the ranking (their zero score would
+        outrank genuinely negative candidates)."""
         fns = getattr(self, "_serve_topk_fns", None)
         if fns is None:
             fns = self._serve_topk_fns = {}
-        V = int(cache.embeddings.shape[0])
+        V = int(cache.embeddings.shape[0]) if num_news is None else int(num_news)
         C = V - 1  # corpus candidates: rows 1..V-1 (0 is the pad news)
         k = min(int(k), C)
-        key = (id(model), kind, cache.category_pad_id, cache.mesh is None, k)
+        key = (id(model), kind, cache.category_pad_id, cache.mesh is None,
+               C, k)
         if key not in fns:
             scores_fn = self._make_cached_scores_fn(
                 model, kind, cache.category_pad_id,

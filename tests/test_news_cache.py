@@ -168,3 +168,72 @@ def test_cache_filler_matches_build_cache(setup):
     refreshed = filler.fill(params2, table)
     assert not np.allclose(np.asarray(refreshed.embeddings),
                            np.asarray(scanned.embeddings))
+
+
+def test_save_load_round_trip(setup, tmp_path):
+    """Persisted cache reloads bit-identically (fp32 and bf16) and the
+    fingerprint gates staleness."""
+    from miner_tpu.parallel.news_cache import (NewsEmbeddingCache, load_cache,
+                                               save_cache)
+
+    store, log, table, model, params, block = setup
+    fp = {"news_sha": "abc", "ckpt_sha": "def"}
+
+    cache = build_cache(_encode_fn(model, params), table, batch_size=8)
+    path = str(tmp_path / "corpus.npz")
+    save_cache(cache, path, cache.num_rows, fp)
+    got = load_cache(path, fp)
+    assert got is not None and got.mesh is None
+    assert got.embeddings.dtype == cache.embeddings.dtype
+    np.testing.assert_array_equal(np.asarray(got.embeddings),
+                                  np.asarray(cache.embeddings))
+    np.testing.assert_array_equal(np.asarray(got.category),
+                                  np.asarray(cache.category))
+    assert got.category_pad_id == cache.category_pad_id
+
+    # stale fingerprint -> None (caller re-encodes)
+    assert load_cache(path, {"news_sha": "abc", "ckpt_sha": "CHANGED"}) is None
+    # missing file -> None
+    assert load_cache(str(tmp_path / "nope.npz"), fp) is None
+
+    # bf16 payload travels as raw bits (numpy cannot serialize bfloat16)
+    bf = NewsEmbeddingCache(
+        embeddings=cache.embeddings.astype(jnp.bfloat16),
+        category=cache.category, category_pad_id=cache.category_pad_id)
+    bfp = str(tmp_path / "bf16.npz")
+    save_cache(bf, bfp, bf.num_rows, fp)
+    got_bf = load_cache(bfp, fp)
+    assert got_bf.embeddings.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got_bf.embeddings).view(np.uint16),
+        np.asarray(bf.embeddings).view(np.uint16))
+
+
+def test_save_sharded_load_sharded(setup, tmp_path):
+    """A table-sharded cache persists only the true corpus rows (not the
+    shard padding) and reloads onto a mesh with the same lookups."""
+    from miner_tpu.parallel.news_cache import load_cache, save_cache
+
+    store, log, table, model, params, block = setup
+    mesh = make_mesh(MeshConfig(data=2, table=4))
+    sharded = build_cache(_encode_fn(model, params), table, batch_size=8,
+                          mesh=mesh)
+    plain = build_cache(_encode_fn(model, params), table, batch_size=8)
+    R = plain.num_rows
+    assert sharded.num_rows > R  # mesh padding present
+
+    fp = {"x": 1}
+    path = str(tmp_path / "sharded.npz")
+    save_cache(sharded, path, R, fp)
+
+    back_plain = load_cache(path, fp)
+    assert back_plain.num_rows == R
+    np.testing.assert_allclose(np.asarray(back_plain.embeddings),
+                               np.asarray(plain.embeddings), atol=1e-6)
+
+    back_sharded = load_cache(path, fp, mesh=mesh)
+    assert back_sharded.mesh is mesh
+    assert back_sharded.embeddings.sharding.spec == P(TABLE_AXIS, None)
+    idx = jnp.asarray([[0, 3, 7], [1, 2, 4]], dtype=jnp.int32)
+    np.testing.assert_allclose(np.asarray(back_sharded.lookup(idx)),
+                               np.asarray(plain.lookup(idx)), atol=1e-6)

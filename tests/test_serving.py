@@ -299,6 +299,8 @@ def test_sharded_cache_serving_matches(served):
         ["serve", *base, "--mesh_data", "2", "--mesh_table", "4"])
     sharded = ScoringService(Trainer(args_s))
     assert sharded.ctx.cache.mesh is not None
+    # the sharded cache really carries zero padding rows beyond the corpus
+    assert sharded.ctx.cache.num_rows > sharded.num_news
     try:
         for cands in (["N7", "N8", "N2"], None):
             a = service.score(["N1", "N3"], cands, 3)
@@ -306,6 +308,15 @@ def test_sharded_cache_serving_matches(served):
             assert [n for n, _ in a] == [n for n, _ in b]
             np.testing.assert_allclose([s for _, s in a], [s for _, s in b],
                                        rtol=5e-4, atol=1e-5)
+        # full-depth corpus top-k: the cache's shard-padding rows (all-zero
+        # embeddings, score 0) must never enter the ranking, even past any
+        # genuinely negative-scored real candidates
+        k = sharded.num_news - 1
+        deep = sharded.score(["N1", "N3"], None, k)
+        assert len(deep) == k
+        assert all(nid.startswith("N") for nid, _ in deep)
+        full = service.score(["N1", "N3"], None, k)
+        assert [n for n, _ in deep] == [n for n, _ in full]
     finally:
         sharded.batcher.close()
 
@@ -373,3 +384,44 @@ def test_bucketed_slates_share_compiled_program(served):
     assert len(r3) == 3 and len(r2) == 2
     fns = service.trainer._serve_score_fns
     assert len(fns) == 1
+
+
+def test_serve_cache_persistence(served, tmp_path):
+    """--serve_cache_path: the first service build persists the corpus
+    cache; a restart loads it WITHOUT re-encoding the corpus and serves
+    identical scores; any checkpoint change invalidates the fingerprint."""
+    _, service, base, rd = served
+    cache_file = str(tmp_path / "corpus.cache.npz")
+    argv = ["serve", *base, "--serve_cache_path", cache_file]
+
+    t1 = Trainer(make_parser().parse_args(argv))
+    s1 = ScoringService(t1)
+    assert os.path.exists(cache_file)
+    want = s1.score(["N1", "N3"], ["N7", "N8", "N2"])
+    s1.batcher.close()
+
+    t2 = Trainer(make_parser().parse_args(argv))
+    orig = Trainer._build_eval_cache
+    Trainer._build_eval_cache = (
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("corpus re-encoded despite a valid cache file")))
+    try:
+        s2 = ScoringService(t2)
+        got = s2.score(["N1", "N3"], ["N7", "N8", "N2"])
+    finally:
+        Trainer._build_eval_cache = orig
+    assert [n for n, _ in got] == [n for n, _ in want]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in want],
+                               rtol=1e-6, atol=0)
+    s2.batcher.close()
+
+    # touching any checkpoint file invalidates the fingerprint
+    from miner_tpu.parallel.news_cache import load_cache
+    t3 = Trainer(make_parser().parse_args(argv))
+    assert load_cache(cache_file, t3._serving_cache_fingerprint()) is not None
+    ckpt_file = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(t3.args.saved_model_path) for f in fs)
+    st = os.stat(ckpt_file)
+    os.utime(ckpt_file, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    assert load_cache(cache_file, t3._serving_cache_fingerprint()) is None
