@@ -74,6 +74,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="pre-compile scoring programs for these slate sizes "
                         "(every batch bucket each, plus the corpus top-k "
                         "program) before accepting traffic")
+    p.add_argument("--serve_warmup_topk", type=int, default=16,
+                   help="pre-compile the corpus top-k programs for this k "
+                        "bucket (every batch bucket; 0 disables); requests "
+                        "with a larger topk compile on first use")
     p.add_argument("--serve_cache_path", type=str, default=None,
                    help="persist the corpus news-embedding cache here; "
                         "restarts load it (skipping the corpus PLM pass) "

@@ -94,6 +94,8 @@ class MicroBatcher:
         self.device_batches = 0  # total device calls issued
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._lock = threading.Lock()  # guards counters
+        self._submit_lock = threading.Lock()  # orders submits vs close()
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="miner-tpu-microbatcher")
         self._worker.start()
@@ -114,14 +116,22 @@ class MicroBatcher:
         return self._wait(item)
 
     def _wait(self, item: _Pending):
-        self._q.put(item)
+        # the submit lock orders every enqueue before close()'s shutdown
+        # sentinel — a submit racing close() either lands ahead of the
+        # sentinel (worker drains it) or raises, never hangs
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put(item)
         item.done.wait()
         if item.error is not None:
             raise item.error
         return item.scores
 
     def close(self):
-        self._q.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=5)
 
     # ------------------------------------------------------------- worker
@@ -131,15 +141,18 @@ class MicroBatcher:
         while len(group) < self.max_batch:
             remaining = deadline - time.monotonic()
             try:
-                nxt = self._q.get(timeout=max(0.0, remaining))
+                # past the deadline, still sweep whatever is ALREADY queued
+                # (free coalescing); only stop waiting for new arrivals
+                if remaining <= 0:
+                    nxt = self._q.get_nowait()
+                else:
+                    nxt = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:  # shutdown: process what we have first
                 self._q.put(None)
                 break
             group.append(nxt)
-            if remaining <= 0:
-                break
         return group
 
     def _score_group(self, group: List[_Pending]):
@@ -402,12 +415,14 @@ def serve(trainer, host: str, port: int) -> None:
     """Build the service (corpus encode happens here) and serve forever."""
     service = ScoringService(trainer)
     a = trainer.args
-    slates = getattr(a, "serve_warmup_slates", None)
-    if slates:
-        # topk=16 warms the corpus top-k program's smallest bucket, which
-        # serves every request with topk <= 16 (the common slate depth)
-        n = service.warmup(slates, topk=16)
-        print(f"warmed {n} scoring programs for slates {slates}")
+    slates = getattr(a, "serve_warmup_slates", None) or []
+    # warm the corpus top-k programs for this k bucket (0 disables); the
+    # default covers every request with topk <= 16 (the common slate depth)
+    topk = int(getattr(a, "serve_warmup_topk", 16) or 0)
+    if slates or topk:
+        n = service.warmup(slates, topk=topk or None)
+        print(f"warmed {n} scoring programs "
+              f"(slates {slates}, topk {topk or 'off'})")
     server = make_http_server(service, host, port)
     print(f"serving {service.num_news} news on http://{host}:{server.server_address[1]}")
     try:

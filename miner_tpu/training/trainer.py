@@ -1056,6 +1056,11 @@ class Trainer:
             "max_sapo_length": int(a.max_sapo_length),
             "use_sapo": bool(a.use_sapo),
             "combine_type": str(a.combine_type),
+            # encode-numerics flags: a cache persisted under one kernel /
+            # precision configuration must not serve another
+            "gelu_approx": bool(getattr(a, "gelu_approx", False)),
+            "attn_fp32": bool(getattr(a, "attn_fp32", True)),
+            "fused_kernels": bool(getattr(a, "fused_kernels", False)),
         }
 
     def _load_or_build_serving_cache(self, model, params, table):
@@ -1066,6 +1071,13 @@ class Trainer:
         from miner_tpu.parallel.news_cache import load_cache, save_cache
 
         path = getattr(self.args, "serve_cache_path", None)
+        if path and not (self.args.saved_model_path
+                         and os.path.isdir(self.args.saved_model_path)):
+            # random-init params have no stable identity to fingerprint —
+            # a persisted cache could silently serve a different init
+            self._log_serving("--serve_cache_path ignored: no checkpoint "
+                              "(--saved_model_path) to fingerprint against")
+            path = None
         fp = self._serving_cache_fingerprint() if path else None
         mesh = self.mesh if self.mesh.devices.size > 1 else None
         if path:

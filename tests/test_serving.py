@@ -425,3 +425,53 @@ def test_serve_cache_persistence(served, tmp_path):
     st = os.stat(ckpt_file)
     os.utime(ckpt_file, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
     assert load_cache(cache_file, t3._serving_cache_fingerprint()) is None
+
+
+def test_microbatcher_submit_after_close_raises():
+    """A submit racing or following close() must raise, never hang."""
+    from miner_tpu.serving import MicroBatcher
+
+    mb = MicroBatcher(lambda c, h: c.astype(np.float64), his_length=2,
+                      topk_fn=lambda h, k: (np.zeros((h.shape[0], k)),
+                                            np.ones((h.shape[0], k), np.int32)))
+    out = mb.submit([1], np.zeros((2,), np.int32))
+    np.testing.assert_array_equal(out, [1.0])
+    mb.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit([2], np.zeros((2,), np.int32))
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit_topk(np.zeros((2,), np.int32), 4)
+
+
+def test_microbatcher_sweeps_backlog_past_deadline():
+    """With a zero drain window, requests already sitting in the queue
+    still coalesce into one call (the deadline only stops WAITING for new
+    arrivals, not sweeping the backlog)."""
+    from miner_tpu.serving import MicroBatcher
+
+    calls = []
+    release = threading.Event()
+
+    def score_fn(cand_idx, his_idx):
+        calls.append(cand_idx.shape)
+        if len(calls) == 1:
+            assert release.wait(10)
+        return cand_idx.astype(np.float64)
+
+    mb = MicroBatcher(score_fn, his_length=2, max_batch=8, max_wait_ms=0)
+    threads = [threading.Thread(target=mb.submit,
+                                args=([i + 1], np.zeros((2,), np.int32)))
+               for i in range(6)]
+    threads[0].start()
+    while not calls:  # worker blocked inside the first device call
+        pass
+    for t in threads[1:]:
+        t.start()
+    while mb._q.qsize() < 5:
+        pass
+    release.set()
+    for t in threads:
+        t.join(10)
+    assert len(calls) == 2, "backlog must coalesce despite max_wait_ms=0"
+    assert calls[1][0] >= 5
+    mb.close()

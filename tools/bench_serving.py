@@ -169,7 +169,8 @@ def main(argv=None):
         "sequential_requests_per_sec": round(seq_rps, 1),
         "concurrent_requests_per_sec": round(conc_rps, 1),
         "speedup": round(conc_rps / seq_rps, 2),
-        "device_batches_for": [len(reqs), "requests:", batches],
+        "requests": len(reqs),
+        "device_batches": batches,
     }
     if http:
         out["http_requests_per_sec"] = round(
