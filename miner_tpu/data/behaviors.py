@@ -3,9 +3,10 @@
 Replaces the reference's per-line Python-object parsing (reference:
 src/reader.py:135-379) with flat numpy storage:
 
-  * history is pre-padded to a fixed H (pad news **prepended**, then the
-    first H clicks kept — the reference truncates to the *earliest* clicks,
-    reference: src/reader.py:150-152; we keep that semantics);
+  * history is padded to a fixed H with clicks FIRST and the pad news
+    (row 0) **appended** — the reference's layout — keeping the first
+    (earliest) H clicks, the reference's truncation (reference:
+    src/reader.py:150-152, padding src/utils.py:102-123);
   * one *event* per positive click (train) carrying the positive's row and
     the impression's negative rows (ragged, stored flat + offsets);
   * eval keeps one group per impression with all candidate rows and labels,
@@ -102,9 +103,16 @@ class BehaviorsLog:
                 hist_ids = line[constants.HISTORY].split()
                 hist = np.zeros(max_his_click, dtype=np.int32)  # 0 = pad row
                 rows = [store.id_to_row.get(h, 0) for h in hist_ids]
-                # Prepend pads then keep the first H (reference semantics).
-                padded = [0] * max(0, max_his_click - len(rows)) + rows
-                hist[:] = padded[:max_his_click]
+                # Clicks FIRST (pads appended), earliest-H truncation — the
+                # reference's layout (its padded_stack appends padding,
+                # reference: src/utils.py:102-123) and truncation
+                # (reference: src/reader.py:150-152). Position-sensitive
+                # consumers — UniSRec's position-0 user vector, Fastformer's
+                # learned positions, UnBERT packing's first-hist_max slice —
+                # all assume clicks-first; round 1/2 front-padding silently
+                # starved them of real history.
+                kept = rows[:max_his_click]
+                hist[: len(kept)] = kept
                 hist_idx = len(hist_rows)
                 hist_rows.append(hist)
 

@@ -66,6 +66,8 @@ class UnbertPacker:
         hist_segs = []
         n_sent = 3
         for i, r in enumerate(hist_rows[: self.hist_max_len]):
+            if r == 0:  # pad news: callers pass clicks-first rows — done
+                break
             ids = self._title(int(r))
             hist_tokens.append(ids)
             hist_segs.append(np.full(len(ids), i + 2, dtype=np.int32))
@@ -117,6 +119,26 @@ class UnbertPacker:
         }
 
 
+def pack_rows(packer: UnbertPacker, cand: np.ndarray,
+              hist: np.ndarray) -> Dict[str, np.ndarray]:
+    """Pack (R,) candidate rows x (R, H) clicks-first history rows into the
+    model feature arrays — the native C++ packer when available, the numpy
+    reference otherwise (bit-identical, tests/test_unbert_data.py)."""
+    from miner_tpu.data import native
+
+    p = packer
+    cand = np.ascontiguousarray(cand, dtype=np.int32)
+    hist = np.ascontiguousarray(hist, dtype=np.int32)
+    if native.native_available():
+        return native.pack_unbert(
+            p._tokens, p._lens, cand, hist,
+            p.seq_max_len, p.news_max_len, p.hist_max_len,
+            p.cls_id, p.sep_id, p.pad_id,
+        )
+    rows = [p.pack_one(int(c), h) for c, h in zip(cand, hist)]
+    return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+
+
 class PackedBlock:
     """Lazy UnBERT feature block: stores per-row (candidate, history-pointer)
     indices and packs token features *per batch* via ``materialize`` — the
@@ -141,26 +163,13 @@ class PackedBlock:
     def __len__(self) -> int:
         return len(self.cand_rows)
 
-    def _use_native(self) -> bool:
-        from miner_tpu.data import native
-
-        return native.native_available()
-
     def materialize(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        p = self.packer
-        cand = self.cand_rows[idx]
-        hist = self.history[self.hist_ptr[idx]]
-        if self._use_native():
-            from miner_tpu.data import native
-
-            out = native.pack_unbert(
-                p._tokens, p._lens, cand, hist,
-                p.seq_max_len, p.news_max_len, p.hist_max_len,
-                p.cls_id, p.sep_id, p.pad_id,
-            )
-        else:
-            rows = [p.pack_one(int(c), h) for c, h in zip(cand, hist)]
-            out = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        # BehaviorsLog rows are clicks-first (pads appended), so the packers'
+        # first-hist_max_len slice sees real clicks, matching the reference's
+        # packing of the unpadded click list (reference:
+        # src/entities.py:634-640); both packers stop at the first pad row.
+        out = pack_rows(self.packer, self.cand_rows[idx],
+                        self.history[self.hist_ptr[idx]])
         out["label"] = self.label[idx]
         out["impression_id"] = self.impression_id[idx]
         return out

@@ -7,6 +7,12 @@ news-embedding cache at startup (Trainer.serving_context) and every request
 runs only the cached tail — candidate gather + poly-attention interests +
 fused lookup+score kernel on TPU (trainer.serve_scores).
 
+The unbert cross-encoder serves as a RERANKER through the same server:
+each (candidate, history) pair packs into one 300-token row (C++ packer)
+and the slate runs the PLM in one jitted program
+(trainer.serve_scores_unbert). No corpus cache exists for a cross-encoder,
+so whole-corpus requests (``candidates: null``) are refused with a 400.
+
 No reference counterpart: the reference's closest workflow is manual
 notebook scoring (reference: helper_val.ipynb); it re-encodes every news
 item on every impression and has no serving entry point at all.
@@ -254,12 +260,17 @@ class ScoringService:
             if max_batch is None else max_batch,
             max_wait_ms=getattr(a, "serve_batch_wait_ms", 2.0)
             if batch_wait_ms is None else batch_wait_ms,
-            topk_fn=self._topk_batch,
+            # a cross-encoder has no corpus cache to rank: slates only
+            topk_fn=None if self.ctx.kind == "unbert" else self._topk_batch,
         )
 
     def _score_batch(self, cand_idx: np.ndarray,
                      his_idx: np.ndarray) -> np.ndarray:
         ctx = self.ctx
+        if ctx.kind == "unbert":
+            return self.trainer.serve_scores_unbert(
+                ctx.model, ctx.params, ctx.packer, cand_idx, his_idx
+            )
         return self.trainer.serve_scores(
             ctx.model, ctx.kind, ctx.params, ctx.cache, cand_idx, his_idx
         )
@@ -274,11 +285,12 @@ class ScoringService:
         )
 
     def _his_row(self, his: Sequence[int]) -> np.ndarray:
-        """(his_length,) history rows, left-padded with the pad news and
-        truncated to the most recent clicks (recency at the end)."""
+        """(his_length,) history rows: the most recent clicks in
+        chronological order, clicks first, pad news appended — the training
+        layout (BehaviorsLog)."""
         H = min(len(his), self.his_length)
         row = np.zeros((self.his_length,), np.int32)
-        row[self.his_length - H:] = his[len(his) - H:]
+        row[:H] = his[len(his) - H:]
         return row
 
     def warmup(self, slate_sizes: Sequence[int], topk: Optional[int] = None,
@@ -306,7 +318,7 @@ class ScoringService:
                 self._score_batch(np.zeros((b, c_pad), np.int32),
                                   np.zeros((b, self.his_length), np.int32))
                 n += 1
-        if topk is not None:
+        if topk is not None and self.batcher.topk_fn is not None:
             k_pad = candidate_bucket(min(topk, self.num_news - 1))
             for b in b_buckets():
                 self._topk_batch(np.zeros((b, self.his_length), np.int32),
@@ -331,6 +343,11 @@ class ScoringService:
         topk: Optional[int] = None,
     ) -> List[Tuple[str, float]]:
         """Ranked (news_id, score) for one request."""
+        if candidates is None and self.ctx.kind == "unbert":
+            raise ValueError(
+                "whole-corpus scoring is not supported for the unbert "
+                "cross-encoder (every candidate costs a full PLM pass) — "
+                "pass 'candidates'")
         his_row = self._his_row([self._idx_of(n) for n in history])
 
         if candidates is None and topk is not None:

@@ -95,7 +95,8 @@ class ServingContext(NamedTuple):
     model: object
     kind: str
     params: Dict
-    cache: object  # NewsEmbeddingCache
+    cache: object  # NewsEmbeddingCache; None for the unbert cross-encoder
+    packer: object = None  # UnbertPacker (unbert only)
 
 
 class Trainer:
@@ -963,15 +964,25 @@ class Trainer:
         his = [idx_of(n) for n in a.user_history]
         H = min(len(his), a.his_length)
         his_idx = np.zeros((1, a.his_length), np.int32)
-        his_idx[0, -H:] = his[-H:]  # left-pad, recency at the end
+        # most recent clicks, chronological, clicks first (training layout)
+        his_idx[0, :H] = his[-H:]
 
         if a.candidates:
             cand = [idx_of(n) for n in a.candidates]
             cand_idx = np.asarray(cand, np.int32)[None, :]
-            scores = self.serve_scores(ctx.model, ctx.kind, ctx.params,
-                                       ctx.cache, cand_idx, his_idx)[0]
+            if ctx.kind == "unbert":
+                scores = self.serve_scores_unbert(
+                    ctx.model, ctx.params, ctx.packer, cand_idx, his_idx)[0]
+            else:
+                scores = self.serve_scores(ctx.model, ctx.kind, ctx.params,
+                                           ctx.cache, cand_idx, his_idx)[0]
             order = np.argsort(-scores)[: a.topk]
             results = [(a.candidates[i], float(scores[i])) for i in order]
+        elif ctx.kind == "unbert":
+            raise ValueError(
+                "whole-corpus ranking is not supported for the unbert "
+                "cross-encoder (no embedding cache exists; every candidate "
+                "costs a full PLM pass) — pass --candidates")
         else:
             # whole corpus: rank on device, move only top-k off-chip
             row_to_id = {v: k for k, v in store.id_to_row.items()}
@@ -995,9 +1006,24 @@ class Trainer:
         store = self._load_store(a.eval_news_path)
         table = self._make_table(store)
         model, kind = self.build_model(store)
+        if kind == "unbert":
+            # cross-encoder reranker: no embedding cache (every request runs
+            # the PLM over packed candidate+history rows); slates only
+            packer = self._unbert_packer(store)
+            from miner_tpu.data.unbert_packing import pack_rows
+
+            example = {
+                k: jnp.asarray(v)
+                for k, v in pack_rows(packer, np.zeros((1,), np.int32),
+                                      np.zeros((1, 1), np.int32)).items()
+            }
+            params = self._restore_or_init(model, kind, store, example)
+            return ServingContext(store=store, table=table, model=model,
+                                  kind=kind, params=params, cache=None,
+                                  packer=packer)
         if not self._supports_cached_eval(kind):
-            raise ValueError(f"serving supports two-tower models, not "
-                             f"{self.model_name!r}")
+            raise ValueError(f"serving supports two-tower models and the "
+                             f"unbert cross-encoder, not {self.model_name!r}")
         # init + restore params. The init example uses a single dummy
         # candidate: parameter shapes are independent of the candidate count,
         # and a full-corpus candidate row would run the PLM news tower over
@@ -1010,16 +1036,20 @@ class Trainer:
             "impression_id": np.zeros((1,), np.int32),
         }
         example = {k: jnp.asarray(v) for k, v in example.items()}
-        params = self._init_params_for_kind(
-            model, kind, self._host_table(store), example
-        )
-        if a.saved_model_path:
-            ckpt = CheckpointManager(os.path.dirname(a.saved_model_path))
-            payload = ckpt.restore(os.path.basename(a.saved_model_path))
-            params = payload["params"]
+        params = self._restore_or_init(model, kind, store, example)
         cache = self._load_or_build_serving_cache(model, params, table)
         return ServingContext(store=store, table=table, model=model,
                               kind=kind, params=params, cache=cache)
+
+    def _restore_or_init(self, model, kind, store, example):
+        params = self._init_params_for_kind(
+            model, kind, self._host_table(store), example
+        )
+        if self.args.saved_model_path:
+            p = self.args.saved_model_path
+            ckpt = CheckpointManager(os.path.dirname(p))
+            params = ckpt.restore(os.path.basename(p))["params"]
+        return params
 
     def _serving_cache_fingerprint(self) -> Dict:
         """Identity of a persisted serving cache: the corpus bytes, the
@@ -1125,6 +1155,41 @@ class Trainer:
             jnp.asarray(his_idx, jnp.int32),
         )
         return np.asarray(jax.device_get(logits))
+
+    def serve_scores_unbert(self, model, params, packer, cand_idx: np.ndarray,
+                            his_idx: np.ndarray) -> np.ndarray:
+        """Cross-encoder reranking: (B, C) candidate rows + (B, H)
+        clicks-first history rows -> (B, C) logits.
+
+        Each (candidate, history) pair packs into one ``seq_max_len``-token
+        row (C++ packer) and the whole (B*C)-row batch runs the PLM in ONE
+        jitted program — the serving analogue of the UnBERT eval path.  No
+        embedding cache exists for a cross-encoder (scores are a joint
+        function of candidate and history tokens, reference:
+        src/model/model_unbert.py:262-289), so per-request cost scales with
+        the slate size; whole-corpus requests are refused at the service
+        layer."""
+        from miner_tpu.data.unbert_packing import pack_rows
+
+        B, C = cand_idx.shape
+        hist = np.repeat(np.asarray(his_idx, np.int32), C, axis=0)  # (B*C, H)
+        feat = pack_rows(packer, np.asarray(cand_idx, np.int32).reshape(-1),
+                         hist)
+        fns = getattr(self, "_serve_unbert_fns", None)
+        if fns is None:
+            fns = self._serve_unbert_fns = {}
+        if id(model) not in fns:
+            def logits_fn(params, feat):
+                return model.apply({"params": params}, feat,
+                                   deterministic=True)
+
+            fns[id(model)] = jax.jit(logits_fn)
+        feat = {k: jnp.asarray(feat[k]) for k in (
+            "input_ids", "input_mask", "segment_ids",
+            "news_segment_ids", "sentence_ids", "sentence_mask",
+        )}
+        logits = fns[id(model)](params, feat)
+        return np.asarray(jax.device_get(logits)).reshape(B, C)
 
     def serve_topk(self, model, kind: str, params, cache,
                    his_idx: np.ndarray, k: int,

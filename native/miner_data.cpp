@@ -204,6 +204,7 @@ void miner_pack_unbert(
         const int n_hist = H < hist_max_len ? H : hist_max_len;
         for (int i = 0; i < n_hist; ++i) {
             const int32_t r = hist_rows[b * H + i];
+            if (r == 0) break;  // pad news: rows arrive clicks-first
             const int l = lens[r];
             for (int t = 0; t < l && written < tmp_hist_len; ++t) {
                 nseg[p] = i + 2;

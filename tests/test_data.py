@@ -92,13 +92,15 @@ def test_behaviors_log(log, store):
         assert labels.sum() >= 1 and labels.sum() < len(labels)
 
 
-def test_history_pad_left(log):
-    # histories shorter than H are left-padded with the pad row (0)
+def test_history_clicks_first(log):
+    # reference layout: clicks first, pad row (0) appended — position 0
+    # must be a real click whenever the user has any (UniSRec's user vector
+    # and Fastformer's learned positions read absolute positions)
     lens = (log.history != 0).sum(axis=1)
     for r in range(len(log.history)):
         h = log.history[r]
-        assert (h[: 5 - lens[r]] == 0).all()
-        assert (h[5 - lens[r] :] != 0).all()
+        assert (h[: lens[r]] != 0).all()
+        assert (h[lens[r]:] == 0).all()
 
 
 def test_sample_negatives_pads_with_zero():

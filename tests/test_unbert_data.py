@@ -30,7 +30,11 @@ def setup(tmp_path_factory):
 
 def test_pack_one_layout(setup):
     _, tok, store, log, packer = setup
-    hist = log.history[0]
+    # pack_one's contract: clicks-first rows (PackedBlock.materialize
+    # left-compresses BehaviorsLog's front-padded histories)
+    raw = log.history[0]
+    hist = np.concatenate([raw[raw != 0], raw[raw == 0]])
+    n_clicks = int((hist != 0).sum())
     cand = int(log.pos_row[0])
     out = packer.pack_one(cand, hist)
     ids = out["input_ids"]
@@ -46,9 +50,11 @@ def test_pack_one_layout(setup):
     # news segments: candidate marked 1
     nseg = out["news_segment_ids"]
     assert (nseg[1 : 1 + cand_len] == 1).all()
-    # sentence ids sequential, 3 + len(hist) entries
+    # sentence ids sequential, 3 + (real clicks, capped) entries — pad
+    # slots must NOT consume sentence positions (reference packs the
+    # unpadded click list, src/entities.py:634-640)
     n_sent = int(out["sentence_mask"].sum())
-    assert n_sent == 3 + 5
+    assert n_sent == 3 + min(n_clicks, packer.hist_max_len)
     np.testing.assert_array_equal(out["sentence_ids"][:n_sent], np.arange(n_sent))
     np.testing.assert_array_equal(out["sentence_segment_ids"][:3], [0, 0, 0])
     assert (out["sentence_segment_ids"][3:n_sent] == 1).all()
@@ -104,7 +110,9 @@ def test_packed_block_native_matches_numpy(setup):
     native_out = block.materialize(idx)
     import unittest.mock as mock
 
-    with mock.patch.object(type(block), "_use_native", return_value=False):
+    from miner_tpu.data import native
+
+    with mock.patch.object(native, "native_available", return_value=False):
         numpy_out = block.materialize(idx)
     for key in numpy_out:
         np.testing.assert_array_equal(native_out[key], numpy_out[key],
@@ -178,3 +186,23 @@ def test_train_sampler_log_without_negatives(setup):
     # row or the pad row; labels stay {0,1} and nothing raises
     assert block["label"].shape == (5 * log.num_events,)
     assert set(np.unique(block["label"])) <= {0.0, 1.0}
+
+
+def test_short_history_packs_real_clicks(setup):
+    """Regression: BehaviorsLog pre-pads histories at the FRONT; the packer
+    reads the first hist_max_len entries, so without left-compression a
+    short history packed ONLY pad slots (history-blind UnBERT).  Every
+    packed row whose event has clicks must carry history tokens."""
+    d, tok, store, log, packer = setup
+    block = UnbertEvalSampler(log, store, packer).sample_all()
+    out = block.materialize(np.arange(len(block)))
+    hist = log.history[log.eval_hist_ptr]
+    counts = np.diff(log.eval_offsets)
+    n_clicks = np.repeat((hist != 0).sum(axis=1), counts)
+    nseg = out["news_segment_ids"]
+    has_hist_tokens = (nseg >= 2).any(axis=1)
+    assert has_hist_tokens[n_clicks > 0].all(), (
+        "events with clicks must pack history tokens")
+    # sentence count tracks real clicks, not padded slots
+    want_sent = 3 + np.minimum(n_clicks, packer.hist_max_len)
+    np.testing.assert_array_equal(out["sentence_mask"].sum(axis=1), want_sent)
