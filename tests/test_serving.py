@@ -475,3 +475,90 @@ def test_microbatcher_sweeps_backlog_past_deadline():
     assert len(calls) == 2, "backlog must coalesce despite max_wait_ms=0"
     assert calls[1][0] >= 5
     mb.close()
+
+
+@pytest.fixture(scope="module")
+def unbert_served(tmp_path_factory):
+    """Train a tiny UnBERT, build the reranker scoring service."""
+    fixture = make_fixture(str(tmp_path_factory.mktemp("mind_userve")),
+                           num_lines=30)
+    out = str(tmp_path_factory.mktemp("userve_out"))
+    argv_train = [
+        "train_fastformer",
+        "--model_name", "unbert",
+        "--pretrained_tokenizer", "hash:1000",
+        "--user2id_path", os.path.join(fixture, "user2id.json"),
+        "--category2id_path", os.path.join(fixture, "category2id.json"),
+        "--train_behaviors_path", os.path.join(fixture, "behaviors.tsv"),
+        "--train_news_path", os.path.join(fixture, "news.tsv"),
+        "--eval_behaviors_path", os.path.join(fixture, "behaviors.tsv"),
+        "--eval_news_path", os.path.join(fixture, "news.tsv"),
+        "--max_title_length", "16", "--max_sapo_length", "24",
+        "--his_length", "5", "--seed", "3", "--plm_preset", "tiny",
+        "--npratio", "3", "--train_batch_size", "16",
+        "--eval_batch_size", "32", "--num_train_epochs", "1",
+        "--learning_rate", "1e-3", "--compute_dtype", "float32",
+        "--metrics", "auc", "--train_path", os.path.join(out, "train"),
+    ]
+    Trainer(make_parser().parse_args(argv_train)).train()
+    rd = glob.glob(os.path.join(out, "train", "*"))[0]
+    argv_serve = [
+        "serve",
+        "--model_name", "unbert",
+        "--pretrained_tokenizer", "hash:1000",
+        "--user2id_path", os.path.join(fixture, "user2id.json"),
+        "--category2id_path", os.path.join(fixture, "category2id.json"),
+        "--eval_news_path", os.path.join(fixture, "news.tsv"),
+        "--saved_model_path", os.path.join(rd, "ckpt", "finalModel"),
+        "--max_title_length", "16", "--max_sapo_length", "24",
+        "--his_length", "5", "--plm_preset", "tiny",
+        "--compute_dtype", "float32", "--metrics", "auc",
+    ]
+    service = ScoringService(Trainer(make_parser().parse_args(argv_serve)))
+    yield service
+    service.batcher.close()
+
+
+def test_unbert_reranker_serving(unbert_served):
+    """The cross-encoder serves slate requests: ranked, deterministic, and
+    equal to a direct pack+apply of the same rows."""
+    import jax.numpy as jnp
+
+    from miner_tpu.data.unbert_packing import pack_rows
+
+    service = unbert_served
+    got = service.score(["N1", "N3"], ["N7", "N8", "N2"])
+    assert len(got) == 3
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)
+    assert np.isfinite(scores).all()
+    again = service.score(["N1", "N3"], ["N7", "N8", "N2"])
+    assert got == again
+
+    # reference computation: pack the same (candidate, history) rows by
+    # hand and run the model directly
+    ctx = service.ctx
+    store = ctx.store
+    his = service._his_row([store.id_to_row[n] for n in ["N1", "N3"]])
+    cand = np.asarray([store.id_to_row[n] for n in ["N7", "N8", "N2"]],
+                      np.int32)
+    feat = pack_rows(ctx.packer, cand, np.repeat(his[None], 3, axis=0))
+    feat = {k: jnp.asarray(feat[k]) for k in (
+        "input_ids", "input_mask", "segment_ids",
+        "news_segment_ids", "sentence_ids", "sentence_mask")}
+    logits = np.asarray(ctx.model.apply({"params": ctx.params}, feat,
+                                        deterministic=True))
+    want = dict(zip(["N7", "N8", "N2"], logits.tolist()))
+    for nid, sc in got:
+        np.testing.assert_allclose(sc, want[nid], rtol=5e-4, atol=1e-5)
+
+
+def test_unbert_serving_refuses_corpus_requests(unbert_served):
+    service = unbert_served
+    with pytest.raises(ValueError, match="cross-encoder"):
+        service.score(["N1"], None, 5)
+    with pytest.raises(ValueError, match="cross-encoder"):
+        service.score(["N1"], None, None)
+    # warmup skips the (nonexistent) top-k program but warms slates
+    n = service.warmup([3], topk=4, max_b=2)
+    assert n == 2  # B in {1, 2} at C_bucket 16; no top-k leg
