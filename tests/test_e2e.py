@@ -385,3 +385,51 @@ def test_recommend_fastformer(fixture_dir, tmp_path):
     scores = [s for _, s in results]
     assert scores == sorted(scores, reverse=True)
     assert np.isfinite(scores).all()
+
+
+def test_recommend_unisrec(fixture_dir, tmp_path):
+    """Serving path for the UniSRec (sequential, pre-concat) model kind —
+    position-sensitive: its user vector reads position 0, which must be a
+    real click under the clicks-first history layout."""
+    args_t = _train_args(fixture_dir, str(tmp_path))
+    args_t.model_name = "unisrec"
+    args_t.combine_type = "pre-concat"
+    args_t.num_train_epochs = 1
+    Trainer(args_t).train()
+    rd = glob.glob(os.path.join(str(tmp_path), "train", "*"))[0]
+
+    argv = [
+        "recommend",
+        "--model_name", "unisrec",
+        "--pretrained_tokenizer", "hash:1000",
+        "--user2id_path", os.path.join(fixture_dir, "user2id.json"),
+        "--category2id_path", os.path.join(fixture_dir, "category2id.json"),
+        "--eval_news_path", os.path.join(fixture_dir, "news.tsv"),
+        "--saved_model_path", os.path.join(rd, "ckpt", "finalModel"),
+        "--max_title_length", "16",
+        "--max_sapo_length", "24",
+        "--his_length", "5",
+        "--plm_preset", "tiny",
+        "--apply_reduce_dim", "--use_sapo", "--use_category_bias",
+        "--combine_type", "pre-concat",
+        "--word_embed_dim", "32",
+        "--category_embed_dim", "8",
+        "--num_context_codes", "4",
+        "--context_code_dim", "16",
+        "--compute_dtype", "float32",
+        "--metrics", "auc",
+        "--user_history", "N1", "N3",
+        "--topk", "3",
+    ]
+    from miner_tpu.config import make_parser
+
+    results = Trainer(make_parser().parse_args(argv)).recommend()
+    assert len(results) == 3
+    scores = [s for _, s in results]
+    assert scores == sorted(scores, reverse=True)
+    assert np.isfinite(scores).all()
+    # the user vector must actually depend on the history (position-0
+    # regression guard): a different click history reranks or rescores
+    argv[argv.index("N1")] = "N7"
+    other = Trainer(make_parser().parse_args(argv)).recommend()
+    assert any(abs(a[1] - b[1]) > 1e-9 for a, b in zip(results, other))
