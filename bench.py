@@ -471,10 +471,11 @@ def main():
     # The first backend query initializes the remote TPU client; a wedged
     # tunnel hangs there with zero CPU (observed multi-hour wedges). Fail
     # fast with a diagnosable error instead of hanging the bench harness.
-    if os.environ.get("JAX_PLATFORMS"):
-        # the axon sitecustomize overrides jax_platforms programmatically;
-        # make an explicit env request (e.g. cpu smoke runs) win
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # (honor_env_platform makes an explicit env request win over the axon
+    # sitecustomize's programmatic platform override)
+    from tools._env import honor_env_platform
+
+    honor_env_platform()
 
     booted = threading.Event()
     timeout_s = float(os.environ.get("MINER_TPU_INIT_TIMEOUT", "900"))

@@ -74,6 +74,11 @@ def make_parser() -> argparse.ArgumentParser:
                    help="pre-compile scoring programs for these slate sizes "
                         "(every batch bucket each, plus the corpus top-k "
                         "program) before accepting traffic")
+    p.add_argument("--serve_max_slate", type=int, default=512,
+                   help="reject unbert reranking slates above this size "
+                        "(each cross-encoder candidate costs a full PLM "
+                        "pass; an unbounded slate would compile and run an "
+                        "arbitrarily large program)")
     p.add_argument("--serve_warmup_topk", type=int, default=16,
                    help="pre-compile the corpus top-k programs for this k "
                         "bucket (every batch bucket; 0 disables); requests "

@@ -102,7 +102,12 @@ class BehaviorsLog:
                 uid = user2id.get(line[constants.USER_ID], unk_user)
                 hist_ids = line[constants.HISTORY].split()
                 hist = np.zeros(max_his_click, dtype=np.int32)  # 0 = pad row
-                rows = [store.id_to_row.get(h, 0) for h in hist_ids]
+                # unknown ids are dropped (NOT mapped to the pad row in
+                # place): a 0 inside the click region would break the
+                # clicks-first-contiguous invariant the packers and
+                # position-sensitive models rely on
+                rows = [r for r in (store.id_to_row.get(h) for h in hist_ids)
+                        if r is not None and r != 0]
                 # Clicks FIRST (pads appended), earliest-H truncation — the
                 # reference's layout (its padded_stack appends padding,
                 # reference: src/utils.py:102-123) and truncation

@@ -285,9 +285,12 @@ class ScoringService:
         )
 
     def _his_row(self, his: Sequence[int]) -> np.ndarray:
-        """(his_length,) history rows: the most recent clicks in
-        chronological order, clicks first, pad news appended — the training
-        layout (BehaviorsLog)."""
+        """(his_length,) history rows: clicks first in chronological order,
+        pad news appended (the BehaviorsLog layout).  Deliberate deviation
+        from training-time truncation: an over-long request history keeps
+        the most RECENT his_length clicks (training/eval keep the earliest,
+        the reference's quirk) — recency is the right production signal for
+        live requests (documented in PARITY.md)."""
         H = min(len(his), self.his_length)
         row = np.zeros((self.his_length,), np.int32)
         row[:H] = his[len(his) - H:]
@@ -343,11 +346,19 @@ class ScoringService:
         topk: Optional[int] = None,
     ) -> List[Tuple[str, float]]:
         """Ranked (news_id, score) for one request."""
-        if candidates is None and self.ctx.kind == "unbert":
-            raise ValueError(
-                "whole-corpus scoring is not supported for the unbert "
-                "cross-encoder (every candidate costs a full PLM pass) — "
-                "pass 'candidates'")
+        if self.ctx.kind == "unbert":
+            if candidates is None:
+                raise ValueError(
+                    "whole-corpus scoring is not supported for the unbert "
+                    "cross-encoder (every candidate costs a full PLM pass) "
+                    "— pass 'candidates'")
+            max_slate = int(getattr(self.trainer.args, "serve_max_slate",
+                                    512) or 512)
+            if len(candidates) > max_slate:
+                raise ValueError(
+                    f"slate of {len(candidates)} exceeds --serve_max_slate="
+                    f"{max_slate} for the unbert cross-encoder (each "
+                    "candidate costs a full PLM pass)")
         his_row = self._his_row([self._idx_of(n) for n in history])
 
         if candidates is None and topk is not None:

@@ -91,7 +91,7 @@ class ServingContext(NamedTuple):
     """One-time setup shared by ``recommend`` and the HTTP scoring server."""
 
     store: NewsStore
-    table: NewsTable
+    table: object  # NewsTable; None for the unbert cross-encoder
     model: object
     kind: str
     params: Dict
@@ -964,7 +964,9 @@ class Trainer:
         his = [idx_of(n) for n in a.user_history]
         H = min(len(his), a.his_length)
         his_idx = np.zeros((1, a.his_length), np.int32)
-        # most recent clicks, chronological, clicks first (training layout)
+        # clicks first (BehaviorsLog layout); over-long request histories
+        # keep the most RECENT clicks — a deliberate serving-side deviation
+        # from the reference's earliest-H training truncation (PARITY.md)
         his_idx[0, :H] = his[-H:]
 
         if a.candidates:
@@ -1004,11 +1006,12 @@ class Trainer:
         (miner_tpu.serving)."""
         a = self.args
         store = self._load_store(a.eval_news_path)
-        table = self._make_table(store)
         model, kind = self.build_model(store)
         if kind == "unbert":
             # cross-encoder reranker: no embedding cache (every request runs
-            # the PLM over packed candidate+history rows); slates only
+            # the PLM over packed candidate+history rows); slates only. The
+            # device news table is never consumed either (packing is
+            # host-side from store.flat_title()), so skip replicating it.
             packer = self._unbert_packer(store)
             from miner_tpu.data.unbert_packing import pack_rows
 
@@ -1018,9 +1021,10 @@ class Trainer:
                                       np.zeros((1, 1), np.int32)).items()
             }
             params = self._restore_or_init(model, kind, store, example)
-            return ServingContext(store=store, table=table, model=model,
+            return ServingContext(store=store, table=None, model=model,
                                   kind=kind, params=params, cache=None,
                                   packer=packer)
+        table = self._make_table(store)
         if not self._supports_cached_eval(kind):
             raise ValueError(f"serving supports two-tower models and the "
                              f"unbert cross-encoder, not {self.model_name!r}")
@@ -1086,11 +1090,14 @@ class Trainer:
             "max_sapo_length": int(a.max_sapo_length),
             "use_sapo": bool(a.use_sapo),
             "combine_type": str(a.combine_type),
-            # encode-numerics flags: a cache persisted under one kernel /
-            # precision configuration must not serve another
-            "gelu_approx": bool(getattr(a, "gelu_approx", False)),
+            # encode-numerics flags, EFFECTIVE values: both default to None
+            # (= auto-resolve), so fingerprinting the raw args would let an
+            # auto-resolved True collide with an explicit False
+            "gelu_approx": bool(
+                a.gelu_approx if getattr(a, "gelu_approx", None) is not None
+                else self.compute_dtype == jnp.bfloat16),
             "attn_fp32": bool(getattr(a, "attn_fp32", True)),
-            "fused_kernels": bool(getattr(a, "fused_kernels", False)),
+            "fused_kernels": self._use_fused(),
         }
 
     def _load_or_build_serving_cache(self, model, params, table):

@@ -230,3 +230,19 @@ def test_device_table_lookup(log, store):
     np.testing.assert_array_equal(
         np.asarray(model_batch["cand_title"][0, 0]), flat[batch["cand_idx"][0, 0]]
     )
+
+
+def test_history_unknown_ids_dropped(fixture_dir, store, tmp_path):
+    """A history news id missing from the store is dropped, not mapped to
+    the pad row mid-list — a 0 inside the click region would break the
+    clicks-first-contiguous invariant and truncate UnBERT packing."""
+    user2id = json.load(open(os.path.join(fixture_dir, "user2id.json")))
+    src = open(os.path.join(fixture_dir, "behaviors.tsv")).readline().split("\t")
+    src[3] = "N1 NOPE_UNKNOWN N2 N3"  # unknown id in the middle
+    p = tmp_path / "behaviors.tsv"
+    p.write_text("\t".join(src))
+    log2 = BehaviorsLog.from_tsv(str(p), store, user2id, max_his_click=5)
+    row = log2.history[0]
+    want = [store.id_to_row["N1"], store.id_to_row["N2"],
+            store.id_to_row["N3"], 0, 0]
+    np.testing.assert_array_equal(row, want)

@@ -559,6 +559,13 @@ def test_unbert_serving_refuses_corpus_requests(unbert_served):
         service.score(["N1"], None, 5)
     with pytest.raises(ValueError, match="cross-encoder"):
         service.score(["N1"], None, None)
+    # oversize slates are rejected (each candidate is a full PLM pass)
+    service.trainer.args.serve_max_slate = 4
+    try:
+        with pytest.raises(ValueError, match="serve_max_slate"):
+            service.score(["N1"], ["N2", "N3", "N4", "N5", "N6"])
+    finally:
+        service.trainer.args.serve_max_slate = 512
     # warmup skips the (nonexistent) top-k program but warms slates
     n = service.warmup([3], topk=4, max_b=2)
     assert n == 2  # B in {1, 2} at C_bucket 16; no top-k leg

@@ -30,10 +30,9 @@ def setup(tmp_path_factory):
 
 def test_pack_one_layout(setup):
     _, tok, store, log, packer = setup
-    # pack_one's contract: clicks-first rows (PackedBlock.materialize
-    # left-compresses BehaviorsLog's front-padded histories)
-    raw = log.history[0]
-    hist = np.concatenate([raw[raw != 0], raw[raw == 0]])
+    # pack_one's contract: clicks-first rows — exactly BehaviorsLog's
+    # layout (tests/test_data.py::test_history_clicks_first)
+    hist = log.history[0]
     n_clicks = int((hist != 0).sum())
     cand = int(log.pos_row[0])
     out = packer.pack_one(cand, hist)

@@ -14,7 +14,11 @@ import os
 
 def honor_env_platform() -> None:
     """Make an explicit ``JAX_PLATFORMS`` env var win over the sitecustomize
-    platform override.  No-op (axon default) when the var is unset."""
+    platform override.  No-op (axon default) when the var is unset.
+
+    Canonical home for this workaround (used by tools/, bench.py,
+    __graft_entry__.py); ``miner_tpu/cli.py`` keeps its own inline copy
+    deliberately — the installable package must not import from tools/."""
     if os.environ.get("JAX_PLATFORMS"):
         import jax
 
