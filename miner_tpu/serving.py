@@ -41,8 +41,9 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -52,7 +53,7 @@ from miner_tpu.utils import candidate_bucket  # noqa: F401  (canonical home)
 class _Pending:
     """One enqueued scoring request (internal to MicroBatcher)."""
 
-    __slots__ = ("cand", "his", "k", "done", "scores", "error")
+    __slots__ = ("cand", "his", "k", "done", "scores", "error", "t0")
 
     def __init__(self, cand: Optional[np.ndarray], his: np.ndarray,
                  k: Optional[int] = None):
@@ -62,6 +63,7 @@ class _Pending:
         self.done = threading.Event()
         self.scores = None  # (C,) scores | (vals (k,), rows (k,)) for top-k
         self.error: Optional[BaseException] = None
+        self.t0 = time.monotonic()  # enqueue time, for latency stats
 
 
 class MicroBatcher:
@@ -102,6 +104,9 @@ class MicroBatcher:
         self._lock = threading.Lock()  # guards counters
         self._submit_lock = threading.Lock()  # orders submits vs close()
         self._closed = False
+        # rolling request latencies (seconds, enqueue -> scores ready) for
+        # /healthz percentiles; bounded so a long-lived server stays O(1)
+        self._latencies: deque = deque(maxlen=2048)
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="miner-tpu-microbatcher")
         self._worker.start()
@@ -132,7 +137,24 @@ class MicroBatcher:
         item.done.wait()
         if item.error is not None:
             raise item.error
+        with self._lock:
+            self._latencies.append(time.monotonic() - item.t0)
         return item.scores
+
+    def stats(self) -> Dict:
+        """Observability snapshot: request/batch counters, coalescing
+        ratio, and rolling end-to-end latency percentiles (ms)."""
+        with self._lock:
+            req, dev = self.requests, self.device_batches
+            lat = sorted(self._latencies)
+        out: Dict = {"requests": req, "device_batches": dev,
+                     "mean_batch": round(req / dev, 2) if dev else None}
+        if lat:
+            pick = lambda q: round(lat[min(len(lat) - 1,
+                                           int(q * len(lat)))] * 1e3, 2)
+            out["latency_ms_p50"] = pick(0.50)
+            out["latency_ms_p99"] = pick(0.99)
+        return out
 
     def close(self):
         with self._submit_lock:
@@ -402,9 +424,7 @@ def make_http_server(service: ScoringService, host: str,
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok",
                                   "num_news": service.num_news,
-                                  "requests": service.batcher.requests,
-                                  "device_batches":
-                                      service.batcher.device_batches})
+                                  **service.batcher.stats()})
             else:
                 self._reply(404, {"error": f"unknown path {self.path!r}"})
 

@@ -79,12 +79,16 @@ def _post(url, payload):
 
 def test_healthz(served):
     url, service, _, _ = served
+    # at least one request so latency percentiles are populated
+    _post(url, {"history": ["N1"], "candidates": ["N7"]})
     with urllib.request.urlopen(url + "/healthz") as r:
         body = json.loads(r.read())
     assert r.status == 200
     assert body["status"] == "ok"
     assert body["num_news"] == service.num_news
     assert body["device_batches"] <= body["requests"]
+    assert body["mean_batch"] >= 1
+    assert 0 < body["latency_ms_p50"] <= body["latency_ms_p99"]
 
 
 def test_score_matches_recommend(served):
