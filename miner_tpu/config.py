@@ -223,6 +223,11 @@ def add_train_arguments(p: argparse.ArgumentParser):
                    choices=["nseg", "mean", "attention"],
                    help="UnBERT word->news aggregation (reference: "
                         "model_unbert.py:160-200)")
+    p.add_argument("--unisrec_train_all", action="store_true",
+                   help="train ALL UniSRec parameters instead of the "
+                        "reference's MoE-only freeze (model_unisrec.py:"
+                        "445-450) — for from-scratch runs where no "
+                        "pretrained state dict exists")
     p.add_argument("--unisrec_pretrained_path", type=str, default=None,
                    help="RecBole-style UniSRec torch state dict (.pth) grafted "
                         "strict=False into the model, as the reference does "

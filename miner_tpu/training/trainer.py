@@ -299,6 +299,12 @@ class Trainer:
 
     def _trainable_pred(self) -> Optional[Callable[[str], bool]]:
         if self.model_name == "unisrec":
+            if getattr(self.args, "unisrec_train_all", False):
+                # opt-in deviation: train every parameter. The reference's
+                # MoE-only freeze (src/model/model_unisrec.py:445-450)
+                # presumes an externally pretrained state dict; without one,
+                # freezing random weights makes the model untrainable.
+                return None
             # freeze everything but the MoE adaptor
             # (reference: src/model/model_unisrec.py:445-450)
             return lambda name: "moe" in name.lower()

@@ -154,6 +154,47 @@ def test_unisrec_freezes_non_moe(fixture_dir, tmp_path):
     assert changed_moe > 0, "no MoE params changed — training had no effect"
 
 
+def test_unisrec_train_all_unfreezes(fixture_dir, tmp_path):
+    """--unisrec_train_all trains beyond the MoE adaptor (opt-in deviation
+    for from-scratch runs with no pretrained state dict)."""
+    import jax
+
+    args = _train_args(fixture_dir, str(tmp_path))
+    args.model_name = "unisrec"
+    args.combine_type = "pre-concat"
+    args.num_train_epochs = 1
+    args.unisrec_train_all = True
+    trainer = Trainer(args)
+    state = trainer.train()
+
+    store = trainer._load_store(args.train_news_path)
+    trainer._num_augs = 0
+    model, kind = trainer.build_model(store)
+    from miner_tpu.data.batcher import Batcher
+    from miner_tpu.data.behaviors import BehaviorsLog
+    from miner_tpu.data.samplers import OfflineSampler
+    import jax.numpy as jnp
+
+    log = BehaviorsLog.from_tsv(args.train_behaviors_path, store,
+                                trainer.user2id, args.his_length)
+    sampler = OfflineSampler(log, store, args.npratio, seed=args.seed)
+    example = next(Batcher(8, drop_last=True).batches(sampler.sample_epoch(0)))
+    example = {k: jnp.asarray(v) for k, v in example.items() if k != "valid"}
+    init_params = trainer._init_params_for_kind(
+        model, kind, trainer._make_table(store), example
+    )
+    init_flat = {jax.tree_util.keystr(p): l
+                 for p, l in jax.tree_util.tree_leaves_with_path(init_params)}
+    changed_nonmoe = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+        key = jax.tree_util.keystr(path)
+        if "moe" not in key.lower():
+            if not np.allclose(np.asarray(leaf), np.asarray(init_flat[key])):
+                changed_nonmoe += 1
+    assert changed_nonmoe > 0, \
+        "--unisrec_train_all did not unfreeze non-MoE params"
+
+
 def test_pretrain_e2e(fixture_dir, tmp_path):
     args = _train_args(fixture_dir, str(tmp_path))
     args.model_name = "pretrain"
