@@ -139,6 +139,15 @@ def _add_common(p: argparse.ArgumentParser):
                    help="HF checkpoint dir to import PLM weights from")
     p.add_argument("--legacy_poly_mask", action="store_true",
                    help="reproduce the reference's 1e-30 poly-attention mask fill")
+    p.add_argument("--legacy_history_layout", action="store_true",
+                   help="reproduce the reference's pads-FIRST history rows "
+                        "([pad]*(H-len) + clicks, src/reader.py:154) "
+                        "end-to-end, including pad sentences in UnBERT "
+                        "packing. Default is clicks-first (deliberate "
+                        "deviation, see PARITY.md). Required for "
+                        "bit-faithful checkpoint transfer with the "
+                        "reference for position-sensitive models "
+                        "(unbert/unisrec/fastformer)")
     p.add_argument("--cached_eval", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="evaluate from the news-embedding cache (one PLM pass "

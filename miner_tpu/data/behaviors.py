@@ -3,10 +3,22 @@
 Replaces the reference's per-line Python-object parsing (reference:
 src/reader.py:135-379) with flat numpy storage:
 
-  * history is padded to a fixed H with clicks FIRST and the pad news
-    (row 0) **appended** — the reference's layout — keeping the first
-    (earliest) H clicks, the reference's truncation (reference:
-    src/reader.py:150-152, padding src/utils.py:102-123);
+  * history is padded to a fixed H. **The reference PREPENDS pad news**:
+    every parse mode builds ``[pad] * (H - len) + clicks[:H]`` (reference:
+    src/reader.py:154, 204, 268, 319, 369, 405), so clicks sit at the TAIL
+    of the row and the first slots are pad for any user with fewer than H
+    clicks.  Our default is a **deliberate deviation**: clicks FIRST, pad
+    appended.  The reference's pads-first layout starves every
+    position-sensitive consumer — its UnBERT packer reads the first
+    ``hist_max_len=20`` slots (all pads whenever clicks ≤ H−20, i.e. most
+    users at the canonical H=50), its UniSRec user vector is position 0
+    (the pad news for short histories), and its Fastformer learned
+    positions shift with history length.  ``legacy_layout=True``
+    (``--legacy_history_layout``) reproduces the reference's pads-first
+    rows bit-faithfully end-to-end — required when importing/exporting
+    reference checkpoints for position-sensitive models (UnBERT, UniSRec,
+    Fastformer).  Truncation keeps the first (earliest) H clicks in both
+    layouts (reference: src/reader.py:154 ``clicks[:max]``);
   * one *event* per positive click (train) carrying the positive's row and
     the impression's negative rows (ragged, stored flat + offsets);
   * eval keeps one group per impression with all candidate rows and labels,
@@ -48,6 +60,7 @@ class BehaviorsLog:
     eval_offsets: np.ndarray  # (I+1,) int32
 
     max_his_click: int
+    legacy_layout: bool = False  # pads-first rows (the reference's layout)
 
     @property
     def num_events(self) -> int:
@@ -77,6 +90,7 @@ class BehaviorsLog:
         user2id: Dict[str, int],
         max_his_click: int,
         require_negative: bool = True,
+        legacy_layout: bool = False,
     ) -> "BehaviorsLog":
         unk_user = user2id.get(constants.UNK_TOKEN, 0)
 
@@ -108,16 +122,20 @@ class BehaviorsLog:
                 # position-sensitive models rely on
                 rows = [r for r in (store.id_to_row.get(h) for h in hist_ids)
                         if r is not None and r != 0]
-                # Clicks FIRST (pads appended), earliest-H truncation — the
-                # reference's layout (its padded_stack appends padding,
-                # reference: src/utils.py:102-123) and truncation
-                # (reference: src/reader.py:150-152). Position-sensitive
-                # consumers — UniSRec's position-0 user vector, Fastformer's
-                # learned positions, UnBERT packing's first-hist_max slice —
-                # all assume clicks-first; round 1/2 front-padding silently
-                # starved them of real history.
+                # Default: clicks FIRST (pads appended), earliest-H
+                # truncation — a DELIBERATE deviation from the reference,
+                # which PREPENDS pads: [pad]*(H−len) + clicks[:H]
+                # (reference: src/reader.py:154, 204, 268, 319, 369, 405).
+                # Clicks-first un-starves the position-sensitive consumers
+                # (UniSRec's position-0 user vector, Fastformer's learned
+                # positions, UnBERT packing's first-hist_max slice).
+                # legacy_layout reproduces the reference's pads-first rows
+                # for bit-faithful checkpoint transfer (see module doc).
                 kept = rows[:max_his_click]
-                hist[: len(kept)] = kept
+                if legacy_layout:
+                    hist[max_his_click - len(kept):] = kept
+                else:
+                    hist[: len(kept)] = kept
                 hist_idx = len(hist_rows)
                 hist_rows.append(hist)
 
@@ -166,4 +184,5 @@ class BehaviorsLog:
             eval_label_flat=np.asarray(e_label, dtype=np.int8),
             eval_offsets=np.asarray(e_offsets, dtype=np.int32),
             max_his_click=max_his_click,
+            legacy_layout=legacy_layout,
         )

@@ -18,8 +18,13 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
+ABI_VERSION = 2  # must match miner_data_abi_version() in miner_data.cpp
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libminer_data.so")
+# The ABI version is part of the filename: dlopen caches handles by NAME, so
+# rebuilding a stale library in place and re-dlopening the same path returns
+# the old mapping within one process. A versioned name sidesteps that.
+_LIB_PATH = os.path.join(_REPO_ROOT, "native", f"libminer_data.v{ABI_VERSION}.so")
 _SRC_PATH = os.path.join(_REPO_ROOT, "native", "miner_data.cpp")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -27,16 +32,39 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a temp path then atomically rename: a stale .so may still
+    # be mmapped by this process (ABI-triggered rebuild) and must not be
+    # truncated in place
+    tmp = _LIB_PATH + ".tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", _LIB_PATH, _SRC_PATH],
+             "-o", tmp, _SRC_PATH],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception as e:
         log.warning("native build failed: %s", e)
         return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    try:
+        return ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        log.warning("could not load native library: %s", e)
+        return None
+
+
+def _abi_ok(lib: ctypes.CDLL) -> bool:
+    try:
+        fn = lib.miner_data_abi_version
+    except AttributeError:
+        return False
+    fn.restype = ctypes.c_int32
+    fn.argtypes = []
+    return fn() == ABI_VERSION
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -49,10 +77,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH):
         if not _build():
             return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError as e:
-        log.warning("could not load native library: %s", e)
+    lib = _load()
+    if lib is not None and not _abi_ok(lib) and os.path.exists(_SRC_PATH):
+        # stale build from an older source revision: rebuild in place
+        log.info("native library ABI stale; rebuilding %s", _LIB_PATH)
+        del lib
+        lib = _load() if _build() else None
+    if lib is None:
+        return None
+    if not _abi_ok(lib):
+        log.warning("native library ABI mismatch (want %d); using the "
+                     "numpy fallback", ABI_VERSION)
         return None
 
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -68,7 +103,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         i32p, i32p, ctypes.c_int64,
         i32p, i32p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, i32p, i32p, i32p, i32p, i32p, i32p,
     ]
     lib.miner_pack_unbert.restype = None
@@ -100,7 +135,8 @@ def sample_epoch(seed: int, epoch: int, mode: str, num_events: int, C: int,
 
 def pack_unbert(tokens: np.ndarray, lens: np.ndarray, cand_rows: np.ndarray,
                 hist_rows: np.ndarray, seq_max_len: int, news_max_len: int,
-                hist_max_len: int, cls_id: int, sep_id: int, pad_id: int):
+                hist_max_len: int, cls_id: int, sep_id: int, pad_id: int,
+                legacy_layout: bool = False):
     lib = get_lib()
     assert lib is not None
     B = len(cand_rows)
@@ -122,6 +158,7 @@ def pack_unbert(tokens: np.ndarray, lens: np.ndarray, cand_rows: np.ndarray,
         np.ascontiguousarray(cand_rows, np.int32),
         np.ascontiguousarray(hist_rows, np.int32),
         seq_max_len, news_max_len, hist_max_len, cls_id, sep_id, pad_id,
+        1 if legacy_layout else 0,
         out["input_ids"], out["input_mask"], out["segment_ids"],
         out["news_segment_ids"], out["sentence_ids"], out["sentence_mask"],
         out["sentence_segment_ids"],

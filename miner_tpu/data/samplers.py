@@ -28,11 +28,15 @@ news = 0.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import numpy as np
 
 from miner_tpu.data.behaviors import BehaviorsLog
 from miner_tpu.data.news_store import NewsStore
+
+log_ = logging.getLogger(__name__)
+_warned_fallback = False
 
 
 @dataclasses.dataclass
@@ -90,6 +94,18 @@ class _BaseTrainSampler:
         ok = native.native_available()
         if self.backend == "native" and not ok:
             raise RuntimeError("native sampler requested but unavailable")
+        if not ok:
+            # a silent fallback here eats a >100x slower per-event Python
+            # loop every epoch — warn loudly, once
+            global _warned_fallback
+            if not _warned_fallback:
+                _warned_fallback = True
+                log_.warning(
+                    "native sampler library unavailable — falling back to "
+                    "the per-event numpy sampler (>100x slower per epoch). "
+                    "Check g++ availability / native build logs, or set "
+                    "MINER_TPU_NO_NATIVE=0."
+                )
         return ok
 
     def sample_epoch(self, epoch: int) -> SampleBlock:

@@ -43,6 +43,10 @@ class UnbertPacker:
     seq_max_len: int = SEQ_MAX_LEN
     news_max_len: int = NEWS_MAX_LEN
     hist_max_len: int = HIST_MAX_LEN
+    # pads-first history rows (the reference's layout, src/reader.py:154):
+    # pad entries are packed as real 2-token sentences instead of
+    # terminating the history scan (see legacy notes in pack_one)
+    legacy_layout: bool = False
 
     def __post_init__(self):
         flat = self.store.flat_title()
@@ -50,6 +54,14 @@ class UnbertPacker:
         self._lens = np.minimum(
             (flat != self.store.pad_token_id).sum(axis=1), self.news_max_len
         ).astype(np.int32)
+        if self.legacy_layout:
+            # The reference's pad news title is exactly 2 tokens
+            # ([CLS, EOS] or [CLS, PAD], reference: src/reader.py:101-108)
+            # and its packer takes title[:news_max_len] verbatim — the
+            # !=pad length undercounts when the closer IS the pad token.
+            N = self.store.num_news
+            for v in range(self.store.num_variants):
+                self._lens[v * N] = min(2, self.news_max_len)
 
     @property
     def sentence_max_len(self) -> int:
@@ -66,7 +78,13 @@ class UnbertPacker:
         hist_segs = []
         n_sent = 3
         for i, r in enumerate(hist_rows[: self.hist_max_len]):
-            if r == 0:  # pad news: callers pass clicks-first rows — done
+            if r == 0 and not self.legacy_layout:
+                # pad news terminates a clicks-first row. Under the
+                # reference's pads-first layout (legacy_layout) pads are
+                # packed as real sentences — the reference iterates
+                # clicked_news[:hist_max_len] unconditionally (reference:
+                # src/entities.py:627-632), so a short history really does
+                # fill the packed sequence with [CLS, EOS] pad sentences.
                 break
             ids = self._title(int(r))
             hist_tokens.append(ids)
@@ -133,7 +151,7 @@ def pack_rows(packer: UnbertPacker, cand: np.ndarray,
         return native.pack_unbert(
             p._tokens, p._lens, cand, hist,
             p.seq_max_len, p.news_max_len, p.hist_max_len,
-            p.cls_id, p.sep_id, p.pad_id,
+            p.cls_id, p.sep_id, p.pad_id, legacy_layout=p.legacy_layout,
         )
     rows = [p.pack_one(int(c), h) for c, h in zip(cand, hist)]
     return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
@@ -164,10 +182,13 @@ class PackedBlock:
         return len(self.cand_rows)
 
     def materialize(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        # BehaviorsLog rows are clicks-first (pads appended), so the packers'
-        # first-hist_max_len slice sees real clicks, matching the reference's
-        # packing of the unpadded click list (reference:
-        # src/entities.py:634-640); both packers stop at the first pad row.
+        # Default BehaviorsLog rows are clicks-first (pads appended), so the
+        # packers' first-hist_max_len slice sees real clicks; both packers
+        # stop at the first pad row. Under --legacy_history_layout the rows
+        # are pads-first and the packers include pad sentences, exactly
+        # reproducing the reference (src/reader.py:154 prepends pads;
+        # src/entities.py:627-632 packs clicked_news[:hist_max_len]
+        # unconditionally).
         out = pack_rows(self.packer, self.cand_rows[idx],
                         self.history[self.hist_ptr[idx]])
         out["label"] = self.label[idx]

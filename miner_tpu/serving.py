@@ -307,15 +307,20 @@ class ScoringService:
         )
 
     def _his_row(self, his: Sequence[int]) -> np.ndarray:
-        """(his_length,) history rows: clicks first in chronological order,
-        pad news appended (the BehaviorsLog layout).  Deliberate deviation
-        from training-time truncation: an over-long request history keeps
-        the most RECENT his_length clicks (training/eval keep the earliest,
+        """(his_length,) history rows: clicks in chronological order, pad
+        news appended (the BehaviorsLog default layout), or pads prepended
+        when the model was trained under --legacy_history_layout (the
+        reference's layout, src/reader.py:154).  Deliberate deviation from
+        training-time truncation: an over-long request history keeps the
+        most RECENT his_length clicks (training/eval keep the earliest,
         the reference's quirk) — recency is the right production signal for
         live requests (documented in PARITY.md)."""
         H = min(len(his), self.his_length)
         row = np.zeros((self.his_length,), np.int32)
-        row[:H] = his[len(his) - H:]
+        if getattr(self.trainer, "_legacy_layout", False):
+            row[self.his_length - H:] = his[len(his) - H:]
+        else:
+            row[:H] = his[len(his) - H:]
         return row
 
     def warmup(self, slate_sizes: Sequence[int], topk: Optional[int] = None,

@@ -114,6 +114,7 @@ class Trainer:
         ))
         self.compute_dtype = _dtype(args.compute_dtype)
         self.n_devices = self.mesh.devices.size
+        self._legacy_layout = bool(getattr(args, "legacy_history_layout", False))
         _configure_prng(getattr(args, "rng_impl", None))
 
     # ------------------------------------------------------------------ data
@@ -170,7 +171,8 @@ class Trainer:
         tok = self.tokenizer
         sep = tok.sep_token_id if tok.sep_token_id is not None else tok.eos_token_id
         return UnbertPacker(
-            store, cls_id=tok.cls_token_id, sep_id=sep, pad_id=tok.pad_token_id
+            store, cls_id=tok.cls_token_id, sep_id=sep,
+            pad_id=tok.pad_token_id, legacy_layout=self._legacy_layout,
         )
 
     # ----------------------------------------------------------------- model
@@ -298,15 +300,16 @@ class Trainer:
         raise ValueError(f"unknown model_name {self.args.model_name!r}")
 
     def _trainable_pred(self) -> Optional[Callable[[str], bool]]:
-        if self.model_name == "unisrec":
-            if getattr(self.args, "unisrec_train_all", False):
-                # opt-in deviation: train every parameter. The reference's
-                # MoE-only freeze (src/model/model_unisrec.py:445-450)
-                # presumes an externally pretrained state dict; without one,
-                # freezing random weights makes the model untrainable.
-                return None
+        if self.model_name == "unisrec" and not getattr(
+                self.args, "unisrec_train_all", False):
             # freeze everything but the MoE adaptor
-            # (reference: src/model/model_unisrec.py:445-450)
+            # (reference: src/model/model_unisrec.py:445-450).
+            # --unisrec_train_all is the opt-in deviation that lifts this
+            # freeze (the reference's presumes an externally pretrained
+            # state dict; without one, freezing random weights makes the
+            # model untrainable) — it then falls through to the generic
+            # --freeze_transformer handling below, so combining the two
+            # flags still freezes the PLM.
             return lambda name: "moe" in name.lower()
         if getattr(self.args, "freeze_transformer", False):
             return lambda name: "/plm/" not in f"/{name}/"
@@ -483,7 +486,8 @@ class Trainer:
         store = self._load_store(a.train_news_path, a.augmentations)
         self._num_augs = store.num_variants - 1
         train_log = BehaviorsLog.from_tsv(
-            a.train_behaviors_path, store, self.user2id, a.his_length
+            a.train_behaviors_path, store, self.user2id, a.his_length,
+            legacy_layout=self._legacy_layout,
         )
         sampler = self._train_sampler(train_log, store)
         table = self._make_table(store)
@@ -492,7 +496,8 @@ class Trainer:
         if a.eval_news_path and a.eval_news_path != a.train_news_path:
             eval_store = self._load_store(a.eval_news_path)
         eval_log = BehaviorsLog.from_tsv(
-            a.eval_behaviors_path, eval_store, self.user2id, a.his_length
+            a.eval_behaviors_path, eval_store, self.user2id, a.his_length,
+            legacy_layout=self._legacy_layout,
         ) if a.eval_behaviors_path else None
         eval_table = (
             table if eval_store is store else self._make_table(eval_store)
@@ -922,7 +927,8 @@ class Trainer:
         self._num_augs = 0
         self._eval_store_for_unbert = store
         eval_log = BehaviorsLog.from_tsv(
-            a.eval_behaviors_path, store, self.user2id, a.his_length
+            a.eval_behaviors_path, store, self.user2id, a.his_length,
+            legacy_layout=self._legacy_layout,
         )
         table = self._make_table(store)
         model, kind = self.build_model(store)
@@ -970,10 +976,15 @@ class Trainer:
         his = [idx_of(n) for n in a.user_history]
         H = min(len(his), a.his_length)
         his_idx = np.zeros((1, a.his_length), np.int32)
-        # clicks first (BehaviorsLog layout); over-long request histories
-        # keep the most RECENT clicks — a deliberate serving-side deviation
-        # from the reference's earliest-H training truncation (PARITY.md)
-        his_idx[0, :H] = his[-H:]
+        # clicks first (BehaviorsLog default layout; pads-first under
+        # --legacy_history_layout to match a legacy-trained model);
+        # over-long request histories keep the most RECENT clicks — a
+        # deliberate serving-side deviation from the reference's earliest-H
+        # training truncation (PARITY.md)
+        if self._legacy_layout:
+            his_idx[0, a.his_length - H:] = his[-H:]
+        else:
+            his_idx[0, :H] = his[-H:]
 
         if a.candidates:
             cand = [idx_of(n) for n in a.candidates]

@@ -103,6 +103,10 @@ void sample_without_replacement(Rng& rng, const T* src, int n, int k, T* out) {
 
 extern "C" {
 
+// Bumped on any C-ABI change; the Python loader rebuilds a stale .so whose
+// version symbol is missing or mismatched (miner_tpu/data/native.py).
+int32_t miner_data_abi_version() { return 2; }
+
 // mode: 0 = base (one positive, random augmentation variant),
 //       1 = hard (1..min(V,npratio)-1 augmented positives first).
 // cand_out: (E, C) int32 global indices; label_out: (E, C) float32.
@@ -170,12 +174,16 @@ void miner_sample_epoch(
 // tokens: (R, Lt) int32 padded titles; lens: (R,) int32 actual title length
 // already capped at news_max_len. For each of B rows: candidate cand_rows[b]
 // plus hist_rows[b*H .. b*H+H-1] packed into seq_max_len ids.
+// legacy: 1 = the reference's pads-first history layout — pad rows (r == 0)
+// are packed as real 2-token sentences instead of terminating the scan
+// (reference: src/reader.py:154 prepends pads; src/entities.py:627-632
+// iterates clicked_news[:hist_max_len] unconditionally).
 void miner_pack_unbert(
     int64_t B, int H,
     const int32_t* tokens, const int32_t* lens, int64_t Lt,
     const int32_t* cand_rows, const int32_t* hist_rows,
     int seq_max_len, int news_max_len, int hist_max_len,
-    int cls_id, int sep_id, int pad_id,
+    int cls_id, int sep_id, int pad_id, int legacy,
     int32_t* input_ids, int32_t* input_mask, int32_t* segment_ids,
     int32_t* news_segment_ids, int32_t* sentence_ids, int32_t* sentence_mask,
     int32_t* sentence_segment_ids) {
@@ -204,7 +212,7 @@ void miner_pack_unbert(
         const int n_hist = H < hist_max_len ? H : hist_max_len;
         for (int i = 0; i < n_hist; ++i) {
             const int32_t r = hist_rows[b * H + i];
-            if (r == 0) break;  // pad news: rows arrive clicks-first
+            if (r == 0 && !legacy) break;  // pad news ends a clicks-first row
             const int l = lens[r];
             for (int t = 0; t < l && written < tmp_hist_len; ++t) {
                 nseg[p] = i + 2;

@@ -93,14 +93,39 @@ def test_behaviors_log(log, store):
 
 
 def test_history_clicks_first(log):
-    # reference layout: clicks first, pad row (0) appended — position 0
-    # must be a real click whenever the user has any (UniSRec's user vector
-    # and Fastformer's learned positions read absolute positions)
+    # DEFAULT layout (deliberate deviation from the reference, which
+    # PREPENDS pads — src/reader.py:154): clicks first, pad row (0)
+    # appended — position 0 must be a real click whenever the user has any
+    # (UniSRec's user vector and Fastformer's learned positions read
+    # absolute positions)
     lens = (log.history != 0).sum(axis=1)
     for r in range(len(log.history)):
         h = log.history[r]
         assert (h[: lens[r]] != 0).all()
         assert (h[lens[r]:] == 0).all()
+
+
+def test_legacy_history_layout_pads_first(fixture_dir, store, log):
+    # --legacy_history_layout reproduces the reference's rows exactly:
+    # [pad]*(H-len) + clicks[:H] (reference: src/reader.py:154, 204, 268,
+    # 319, 369, 405) — clicks at the TAIL, same clicks in the same order
+    user2id = json.load(open(os.path.join(fixture_dir, "user2id.json")))
+    legacy = BehaviorsLog.from_tsv(
+        os.path.join(fixture_dir, "behaviors.tsv"), store, user2id,
+        max_his_click=5, legacy_layout=True,
+    )
+    assert legacy.legacy_layout and not log.legacy_layout
+    assert legacy.history.shape == log.history.shape
+    any_short = False
+    for r in range(len(log.history)):
+        clicks = log.history[r][log.history[r] != 0]
+        h = legacy.history[r]
+        n = len(clicks)
+        # pads first, then the identical click sequence
+        assert (h[: 5 - n] == 0).all()
+        np.testing.assert_array_equal(h[5 - n:], clicks)
+        any_short |= n < 5
+    assert any_short  # fixture must actually exercise the padding
 
 
 def test_sample_negatives_pads_with_zero():

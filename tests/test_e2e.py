@@ -109,29 +109,26 @@ def test_unisrec_train_e2e(fixture_dir, tmp_path):
     assert int(state.step) > 0
 
 
-def test_unisrec_freezes_non_moe(fixture_dir, tmp_path):
-    """Only MoE adaptor params may change during UniSRec training."""
-    import jax
-
-    args = _train_args(fixture_dir, str(tmp_path))
+def _unisrec_args(fixture_dir, out_dir):
+    args = _train_args(fixture_dir, out_dir)
     args.model_name = "unisrec"
     args.combine_type = "pre-concat"
     args.num_train_epochs = 1
-    trainer = Trainer(args)
+    return args
 
-    # capture initial params by re-initializing with the same seed
-    state = trainer.train()
-    final = state.params
 
-    flat = jax.tree_util.tree_leaves_with_path(final)
-    # the PLM subtree must be untouched by training: re-init and compare
+def _unisrec_init_flat(trainer, args):
+    """Re-initialize UniSRec params with the trainer's seed and return them
+    flattened as {keystr: leaf} — the baseline the freeze/unfreeze tests
+    compare trained params against."""
+    import jax
+
     store = trainer._load_store(args.train_news_path)
     trainer._num_augs = 0
     model, kind = trainer.build_model(store)
     from miner_tpu.data.batcher import Batcher
     from miner_tpu.data.behaviors import BehaviorsLog
     from miner_tpu.data.samplers import OfflineSampler
-    import jax.numpy as jnp
 
     log = BehaviorsLog.from_tsv(args.train_behaviors_path, store,
                                 trainer.user2id, args.his_length)
@@ -141,10 +138,21 @@ def test_unisrec_freezes_non_moe(fixture_dir, tmp_path):
     init_params = trainer._init_params_for_kind(
         model, kind, trainer._make_table(store), example
     )
-    init_flat = {jax.tree_util.keystr(p): l
-                 for p, l in jax.tree_util.tree_leaves_with_path(init_params)}
-    changed_nonmoe, changed_moe = 0, 0
-    for path, leaf in flat:
+    return {jax.tree_util.keystr(p): l
+            for p, l in jax.tree_util.tree_leaves_with_path(init_params)}
+
+
+def test_unisrec_freezes_non_moe(fixture_dir, tmp_path):
+    """Only MoE adaptor params may change during UniSRec training."""
+    import jax
+
+    args = _unisrec_args(fixture_dir, str(tmp_path))
+    trainer = Trainer(args)
+    state = trainer.train()
+    # the PLM subtree must be untouched by training: re-init and compare
+    init_flat = _unisrec_init_flat(trainer, args)
+    changed_moe = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
         key = jax.tree_util.keystr(path)
         same = np.allclose(np.asarray(leaf), np.asarray(init_flat[key]))
         if "moe" in key.lower():
@@ -159,32 +167,11 @@ def test_unisrec_train_all_unfreezes(fixture_dir, tmp_path):
     for from-scratch runs with no pretrained state dict)."""
     import jax
 
-    args = _train_args(fixture_dir, str(tmp_path))
-    args.model_name = "unisrec"
-    args.combine_type = "pre-concat"
-    args.num_train_epochs = 1
+    args = _unisrec_args(fixture_dir, str(tmp_path))
     args.unisrec_train_all = True
     trainer = Trainer(args)
     state = trainer.train()
-
-    store = trainer._load_store(args.train_news_path)
-    trainer._num_augs = 0
-    model, kind = trainer.build_model(store)
-    from miner_tpu.data.batcher import Batcher
-    from miner_tpu.data.behaviors import BehaviorsLog
-    from miner_tpu.data.samplers import OfflineSampler
-    import jax.numpy as jnp
-
-    log = BehaviorsLog.from_tsv(args.train_behaviors_path, store,
-                                trainer.user2id, args.his_length)
-    sampler = OfflineSampler(log, store, args.npratio, seed=args.seed)
-    example = next(Batcher(8, drop_last=True).batches(sampler.sample_epoch(0)))
-    example = {k: jnp.asarray(v) for k, v in example.items() if k != "valid"}
-    init_params = trainer._init_params_for_kind(
-        model, kind, trainer._make_table(store), example
-    )
-    init_flat = {jax.tree_util.keystr(p): l
-                 for p, l in jax.tree_util.tree_leaves_with_path(init_params)}
+    init_flat = _unisrec_init_flat(trainer, args)
     changed_nonmoe = 0
     for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
         key = jax.tree_util.keystr(path)
@@ -193,6 +180,36 @@ def test_unisrec_train_all_unfreezes(fixture_dir, tmp_path):
                 changed_nonmoe += 1
     assert changed_nonmoe > 0, \
         "--unisrec_train_all did not unfreeze non-MoE params"
+
+
+def test_unisrec_train_all_respects_freeze_transformer(fixture_dir, tmp_path):
+    """--unisrec_train_all lifts the MoE-only freeze but must NOT override
+    an explicit --freeze_transformer: the PLM stays frozen."""
+    args = _unisrec_args(fixture_dir, str(tmp_path))
+    args.unisrec_train_all = True
+    args.freeze_transformer = True
+    pred = Trainer(args)._trainable_pred()
+    assert pred is not None
+    assert not pred("encoder/plm/layers_0/attn/qkv/kernel")
+    assert pred("user_encoder/transformer/layers_0/ffn/kernel")
+    # and without freeze_transformer everything trains
+    args.freeze_transformer = False
+    assert Trainer(args)._trainable_pred() is None
+
+
+def test_legacy_layout_train_e2e(fixture_dir, tmp_path):
+    """--legacy_history_layout threads end-to-end: training + eval run on
+    the reference's pads-first history rows."""
+    args = _train_args(fixture_dir, str(tmp_path),
+                       extra=("--legacy_history_layout",))
+    args.num_train_epochs = 1
+    trainer = Trainer(args)
+    assert trainer._legacy_layout
+    state = trainer.train()
+    assert int(state.step) > 0
+    rd = glob.glob(os.path.join(str(tmp_path), "train", "*"))[0]
+    lines = open(os.path.join(rd, "eval.csv")).read().splitlines()
+    assert len(lines) >= 2
 
 
 def test_pretrain_e2e(fixture_dir, tmp_path):

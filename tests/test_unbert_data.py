@@ -187,6 +187,116 @@ def test_train_sampler_log_without_negatives(setup):
     assert set(np.unique(block["label"])) <= {0.0, 1.0}
 
 
+def _reference_pack(title_of, cand, hist, seq_max, news_max, hist_max,
+                    cls_id, sep_id, pad_id):
+    """Independent reimplementation of the reference's pack_bert_features
+    (reference: src/entities.py:617-669), taking the pads-first history row
+    verbatim the way the reference's clicked_news list arrives (reference:
+    src/reader.py:154 prepends pads). Used only as the test oracle."""
+    curr = title_of(cand)[:news_max]
+    news_segment_ids = []
+    hist_news = []
+    sentence_ids = [0, 1, 2]
+    for i, r in enumerate(hist[:hist_max]):
+        ids = title_of(int(r))[:news_max]
+        hist_news += ids
+        news_segment_ids += [i + 2] * len(ids)
+        sentence_ids.append(sentence_ids[-1] + 1)
+    tmp = seq_max - len(curr) - 3
+    hist_news = hist_news[:tmp]
+    input_ids = [cls_id] + curr + [sep_id] + hist_news + [sep_id]
+    news_segment_ids = ([0] + [1] * len(curr) + [0]
+                        + news_segment_ids[:tmp] + [0])
+    segment_ids = [0] * (len(curr) + 2) + [1] * (len(hist_news) + 1)
+    input_mask = [1] * len(input_ids)
+    padding = seq_max - len(input_ids)
+    input_ids += [pad_id] * padding
+    input_mask += [0] * padding
+    segment_ids += [0] * padding
+    news_segment_ids += [0] * padding
+    sentence_segment_ids = [0] * 3 + [1] * (len(sentence_ids) - 3)
+    sentence_mask = [1] * len(sentence_ids)
+    s_pad = (3 + hist_max) - len(sentence_ids)
+    sentence_ids += [0] * s_pad
+    sentence_mask += [0] * s_pad
+    sentence_segment_ids += [0] * s_pad
+    return {
+        "input_ids": np.asarray(input_ids, np.int32),
+        "input_mask": np.asarray(input_mask, np.int32),
+        "segment_ids": np.asarray(segment_ids, np.int32),
+        "news_segment_ids": np.asarray(news_segment_ids, np.int32),
+        "sentence_ids": np.asarray(sentence_ids, np.int32),
+        "sentence_mask": np.asarray(sentence_mask, np.int32),
+        "sentence_segment_ids": np.asarray(sentence_segment_ids, np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def legacy_setup(setup):
+    d, tok, store, _, _ = setup
+    user2id = json.load(open(os.path.join(d, "user2id.json")))
+    log = BehaviorsLog.from_tsv(os.path.join(d, "behaviors.tsv"), store,
+                                user2id, 5, legacy_layout=True)
+    packer = UnbertPacker(store, cls_id=tok.cls_token_id,
+                          sep_id=tok.sep_token_id, pad_id=tok.pad_token_id,
+                          seq_max_len=64, news_max_len=8, hist_max_len=5,
+                          legacy_layout=True)
+    return d, tok, store, log, packer
+
+
+def test_legacy_packing_matches_reference_semantics(legacy_setup):
+    """Under --legacy_history_layout the packed rows must reproduce the
+    reference exactly for SHORT histories: pads-first rows, pad entries
+    packed as real 2-token [CLS, PAD] sentences (the reference's packer
+    iterates clicked_news[:hist_max_len] unconditionally)."""
+    _, tok, store, log, packer = legacy_setup
+    flat = store.flat_title()
+
+    def title_of(row):
+        if row % store.num_news == 0:  # pad news: [CLS, PAD/EOS], 2 tokens
+            return [int(flat[row, 0]), int(flat[row, 1])]
+        t = flat[row]
+        return [int(x) for x in t[t != tok.pad_token_id]]
+
+    n_short = 0
+    for e in range(log.num_events):
+        hist = log.history[log.hist_ptr[e]]
+        n_short += int((hist == 0).any())
+        cand = int(log.pos_row[e])
+        got = packer.pack_one(cand, hist)
+        want = _reference_pack(title_of, cand, hist, 64, 8, 5,
+                               tok.cls_token_id, tok.sep_token_id,
+                               tok.pad_token_id)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k],
+                                          err_msg=f"event {e} field {k}")
+        # a short history must show pad sentences: all hist_max_len
+        # sentence slots are consumed regardless of real click count
+        assert int(got["sentence_mask"].sum()) == 3 + 5
+    assert n_short > 0, "fixture must include short histories"
+
+
+def test_legacy_native_matches_numpy(legacy_setup):
+    from miner_tpu.data.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    _, tok, store, log, packer = legacy_setup
+    s = UnbertTrainSampler(log, store, packer, npratio=3, seed=5)
+    block = s.sample_epoch(0)
+    idx = np.arange(min(16, len(block)))
+    native_out = block.materialize(idx)
+    import unittest.mock as mock
+
+    from miner_tpu.data import native
+
+    with mock.patch.object(native, "native_available", return_value=False):
+        numpy_out = block.materialize(idx)
+    for key in numpy_out:
+        np.testing.assert_array_equal(native_out[key], numpy_out[key],
+                                      err_msg=f"field {key}")
+
+
 def test_short_history_packs_real_clicks(setup):
     """Regression: BehaviorsLog pre-pads histories at the FRONT; the packer
     reads the first hist_max_len entries, so without left-compression a
