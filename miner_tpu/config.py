@@ -108,8 +108,13 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--save_ranking", action="store_true")
     p.add_argument("--metrics", type=str, nargs="+",
                    default=["auc", "group_auc", "mrr", "ndcg@5", "ndcg@10"])
-    p.add_argument("--evaluation_info", type=str, nargs="+", default=["metrics"],
-                   choices=["loss", "metrics"])
+    # 'loss' gates eval-loss reporting + bestLossModel selection, 'metrics'
+    # gates the ranking evaluator + bestAucModel (reference:
+    # src/trainer.py:181-206, 282-296). The reference declares no default
+    # (arguments.py:41) and its configs mostly pass both; default to both so
+    # a config that omits the flag keeps best-loss AND best-auc selection.
+    p.add_argument("--evaluation_info", type=str, nargs="+",
+                   default=["metrics", "loss"], choices=["loss", "metrics"])
     # accepted for config-file compatibility; ignored on TPU
     p.add_argument("--device", type=str, default=None, help="(ignored on TPU)")
 

@@ -89,18 +89,32 @@ def miner_eval_loss(
     )
 
 
-def pretrain_contrastive(embs: jax.Array, num_augmentations: int = 3) -> jax.Array:
+def pretrain_contrastive(
+    embs: jax.Array,
+    num_augmentations: int = 3,
+    row_mask: jax.Array | None = None,
+) -> jax.Array:
     """Contrastive news-encoder pretraining loss.
 
     ``embs``: (B, C, D) with slot 0 = vanilla positive, slots 1..1+A =
     augmented positives, the rest negatives.
+
+    ``row_mask`` (B,) excludes padded tail-batch rows (the fixed-shape
+    Batcher repeats row 0 to fill the last batch) — used by the pretrain
+    EVAL loop, whose total must match the reference pretrainer's sum over
+    ragged batches (reference: src/pretrainer.py:266-274, the summed
+    ``compute_pretrain`` with the normalization commented out upstream).
     """
     positive = embs[:, :1, :]
     augmentations = embs[:, 1 : 1 + num_augmentations, :]
     negatives = embs[:, 1 + num_augmentations :, :]
-    main_distance = jnp.sum(pairwise_cosine_similarity(positive, negatives))
-    aug_distance = jnp.sum(pairwise_cosine_similarity(positive, augmentations))
-    return -(main_distance + 0.001 * aug_distance)
+    main = pairwise_cosine_similarity(positive, negatives)
+    aug = pairwise_cosine_similarity(positive, augmentations)
+    if row_mask is not None:
+        m = row_mask.astype(main.dtype)
+        main = main * m.reshape(m.shape + (1,) * (main.ndim - 1))
+        aug = aug * m.reshape(m.shape + (1,) * (aug.ndim - 1))
+    return -(jnp.sum(main) + 0.001 * jnp.sum(aug))
 
 
 def binary_cross_entropy_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:

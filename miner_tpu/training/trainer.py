@@ -115,6 +115,13 @@ class Trainer:
         self.compute_dtype = _dtype(args.compute_dtype)
         self.n_devices = self.mesh.devices.size
         self._legacy_layout = bool(getattr(args, "legacy_history_layout", False))
+        # --evaluation_info gates what the eval loop reports and which best-
+        # checkpoints are kept: 'loss' -> eval loss + bestLossModel, 'metrics'
+        # -> ranking evaluator + bestAucModel (reference: src/trainer.py:
+        # 181-206, 282-296).
+        self.eval_info = frozenset(
+            getattr(args, "evaluation_info", None) or ("metrics", "loss")
+        )
         _configure_prng(getattr(args, "rng_impl", None))
 
     # ------------------------------------------------------------------ data
@@ -467,6 +474,57 @@ class Trainer:
 
         return jax.jit(eval_step, out_shardings=self._eval_out_shardings())
 
+    def _make_pretrain_eval_step(self, model, table: NewsTable, num_augs: int):
+        """Eval step for the pretrain kind: summed contrastive loss over the
+        eval split's candidate slots, padded tail rows masked out.
+
+        The reference pretrainer evaluates the same contrastive objective on
+        the eval behaviors (``dataset.set_mode("pretrain")``) and accumulates
+        the UN-normalized per-batch sum (reference: src/pretrainer.py:247-274
+        — the ``/ total_pos_example`` normalization is commented out
+        upstream); best-loss checkpoints track that total.  ``num_augs`` is
+        the EVAL store's augmentation count (reference eval news ship without
+        augmentation siblings, so it is usually 0 while training uses 3).
+        """
+        def eval_step(params, batch, valid):
+            B = batch["cand_idx"].shape[0]
+            row_mask = jnp.arange(B) < valid
+            cand = table.lookup_candidates(batch["cand_idx"])
+            _, C, L = cand["cand_title"].shape
+            flat_ids = cand["cand_title"].reshape(B * C, L)
+            flat_mask = cand["cand_title_mask"].reshape(B * C, L)
+            sapo_ids = sapo_mask = None
+            if "cand_sapo" in cand:
+                Ls = cand["cand_sapo"].shape[-1]
+                sapo_ids = cand["cand_sapo"].reshape(B * C, Ls)
+                sapo_mask = cand["cand_sapo_mask"].reshape(B * C, Ls)
+            reprs = model.apply(
+                {"params": params}, flat_ids, flat_mask, sapo_ids, sapo_mask,
+                deterministic=True,
+            ).reshape(B, C, -1)
+            return losses.pretrain_contrastive(
+                reprs, num_augmentations=num_augs, row_mask=row_mask
+            )
+
+        return jax.jit(eval_step)
+
+    def _run_pretrain_eval(self, eval_step, params, block, logger: RunLogger,
+                           epoch: int, step: int) -> float:
+        """One pass over the pretrain eval block -> total contrastive loss,
+        logged to eval.csv/TB like the ranking evals (scores stay empty: the
+        pretrain forward emits embeddings, not rankable logits — the
+        reference's 'metrics' branch over them is incoherent upstream)."""
+        a = self.args
+        batcher = Batcher(a.eval_batch_size, drop_last=False, shuffle=False)
+        total = 0.0
+        for batch in batcher.batches(block):
+            valid = int(batch.pop("valid"))
+            dev_batch = shard_batch(self.mesh, {"cand_idx": batch["cand_idx"]})
+            loss = eval_step(params, dev_batch, jnp.asarray(valid, jnp.int32))
+            total += float(jax.device_get(loss))
+        logger.log_eval(epoch, step, {}, total)
+        return total
+
     def _eval_out_shardings(self):
         """Multi-process: replicate eval outputs so the host-side evaluator
         can fetch full logits (single-process: let jit decide)."""
@@ -599,12 +657,40 @@ class Trainer:
                           if his_cache_warmup > 0 else None)
         else:
             train_step = self._make_train_step(model, kind, table)
-        eval_step = self._make_eval_step(model, kind, eval_table)
+        eval_block = None
+        if kind == "pretrain" and eval_log is not None:
+            # pretrain evaluates the contrastive loss itself over the eval
+            # behaviors (reference: src/pretrainer.py:247-274); negatives are
+            # drawn once (seed, epoch 0) so the eval total is comparable
+            # across the run
+            eval_block = PretrainSampler(
+                eval_log, eval_store, a.npratio, seed=a.seed
+            ).sample_epoch(0)
+            eval_step = self._make_pretrain_eval_step(
+                model, eval_table, eval_store.num_variants - 1
+            )
+            if "metrics" in self.eval_info:
+                log.warning("--evaluation_info metrics has no effect for "
+                            "pretrain (the forward emits embeddings, not "
+                            "rankable logits)")
+        else:
+            eval_step = self._make_eval_step(model, kind, eval_table)
         cached_ctx = (
             (model, kind, eval_table)
             if self.args.cached_eval and self._supports_cached_eval(kind)
             else None
         )
+
+        def run_eval(epoch: int, step: int, params):
+            if eval_block is not None:
+                loss = self._run_pretrain_eval(
+                    eval_step, params, eval_block, logger, epoch, step
+                )
+                return {}, loss
+            return self._run_eval(
+                eval_step, params, eval_log, logger, epoch, step,
+                cached_ctx=cached_ctx,
+            )
 
         best_loss, best_auc = float("inf"), -float("inf")
         global_step = int(state.step)
@@ -642,18 +728,14 @@ class Trainer:
                     logger.log_train(epoch, global_step, loss_v,
                                      lr_now, eps / self.n_devices)
                 if eval_log is not None and global_step % a.eval_steps == 0:
-                    scores, eval_loss = self._run_eval(
-                        eval_step, state.params, eval_log, logger, epoch,
-                        global_step, cached_ctx=cached_ctx)
+                    scores, eval_loss = run_eval(epoch, global_step,
+                                                 state.params)
                     best_loss, best_auc = self._maybe_checkpoint(
                         ckpt, state, scores, eval_loss, best_loss, best_auc, log
                     )
             mean_loss = float(jax.device_get(jnp.mean(jnp.stack(epoch_losses))))
             if eval_log is not None:
-                scores, eval_loss = self._run_eval(
-                    eval_step, state.params, eval_log, logger, epoch,
-                    global_step, cached_ctx=cached_ctx
-                )
+                scores, eval_loss = run_eval(epoch, global_step, state.params)
                 best_loss, best_auc = self._maybe_checkpoint(
                     ckpt, state, scores, eval_loss, best_loss, best_auc, log
                 )
@@ -890,24 +972,37 @@ class Trainer:
             else:
                 loss, logits = eval_step(params, dev_batch, dev_valid)
             total_loss += float(jax.device_get(loss))
-            evaluator.eval_batch(
-                np.asarray(jax.device_get(logits)),
-                batch["impression_id"],
-                valid=valid,
+            if "metrics" in self.eval_info:
+                evaluator.eval_batch(
+                    np.asarray(jax.device_get(logits)),
+                    batch["impression_id"],
+                    valid=valid,
+                )
+        # --evaluation_info gating (reference: src/trainer.py:282-296): the
+        # loss is a fused output of the same jitted program as the logits
+        # (free to compute), so 'loss' gates only its reporting/selection;
+        # 'metrics' gates the genuinely expensive host-side evaluator.
+        scores = {}
+        if "metrics" in self.eval_info:
+            scores = evaluator.compute_scores(
+                a.metrics, save_result=a.save_eval_result, path=logger.run_dir
             )
-        scores = evaluator.compute_scores(
-            a.metrics, save_result=a.save_eval_result, path=logger.run_dir
-        )
-        logger.log_eval(epoch, step, scores, total_loss)
-        if a.save_eval_result and hasattr(evaluator, "save_predictions"):
-            evaluator.save_predictions(logger.run_dir)
-        if getattr(a, "save_ranking", False) and hasattr(evaluator, "save_ranking"):
-            evaluator.save_ranking(logger.run_dir)
-        return scores, total_loss
+        eval_loss = total_loss if "loss" in self.eval_info else None
+        logger.log_eval(epoch, step, scores, eval_loss)
+        if "metrics" in self.eval_info:
+            if a.save_eval_result and hasattr(evaluator, "save_predictions"):
+                evaluator.save_predictions(logger.run_dir)
+            if getattr(a, "save_ranking", False) and hasattr(
+                    evaluator, "save_ranking"):
+                evaluator.save_ranking(logger.run_dir)
+        return scores, eval_loss
 
     def _maybe_checkpoint(self, ckpt, state, scores, eval_loss, best_loss,
                           best_auc, log):
-        if eval_loss < best_loss:
+        # best-loss / best-auc selection is gated by --evaluation_info
+        # (reference: src/trainer.py:181-206): _run_eval returns eval_loss
+        # None / scores {} for the disabled halves
+        if eval_loss is not None and eval_loss < best_loss:
             best_loss = eval_loss
             ckpt.save("bestLossModel", _ckpt_payload(state))
             log.info("new best loss %.5f -> bestLossModel", eval_loss)
@@ -932,7 +1027,14 @@ class Trainer:
         )
         table = self._make_table(store)
         model, kind = self.build_model(store)
-        block = EvalSampler(eval_log).sample_all()
+        if kind == "pretrain":
+            # standalone pretrain eval: total contrastive loss over the eval
+            # behaviors (reference: src/pretrainer.py:205-226)
+            block = PretrainSampler(
+                eval_log, store, a.npratio, seed=a.seed
+            ).sample_epoch(0)
+        else:
+            block = EvalSampler(eval_log).sample_all()
         batcher = Batcher(a.eval_batch_size, drop_last=False, shuffle=False)
         example = next(batcher.batches(block))
         example = {k: jnp.asarray(v) for k, v in example.items() if k != "valid"}
@@ -943,6 +1045,14 @@ class Trainer:
             ckpt = CheckpointManager(os.path.dirname(a.saved_model_path))
             payload = ckpt.restore(os.path.basename(a.saved_model_path))
             params = payload["params"]
+        if kind == "pretrain":
+            eval_step = self._make_pretrain_eval_step(
+                model, table, store.num_variants - 1
+            )
+            eval_loss = self._run_pretrain_eval(
+                eval_step, params, block, logger, 0, 0
+            )
+            return {"loss": eval_loss}
         eval_step = self._make_eval_step(model, kind, table)
         cached_ctx = (
             (model, kind, table)

@@ -213,15 +213,47 @@ def test_legacy_layout_train_e2e(fixture_dir, tmp_path):
 
 
 def test_pretrain_e2e(fixture_dir, tmp_path):
+    """Pretraining runs its own eval loop: periodic contrastive eval loss
+    over the eval behaviors with best-loss checkpointing (reference:
+    src/pretrainer.py:163-190 — the reference pretrainer evaluates the same
+    objective it trains)."""
     args = _train_args(fixture_dir, str(tmp_path))
     args.model_name = "pretrain"
     args.augmentations = ["enhanced_text"]
     args.online = 1
     args.num_train_epochs = 1
-    args.eval_behaviors_path = None  # pretraining has no ranking eval
+    args.evaluation_info = ["loss"]
+    args.eval_steps = 3
     trainer = Trainer(args)
     state = trainer.train()
     assert int(state.step) > 0
+    rd = glob.glob(os.path.join(str(tmp_path), "train", "*"))[0]
+    # the pretrain eval loss lands in eval.csv and selects bestLossModel
+    lines = open(os.path.join(rd, "eval.csv")).read().splitlines()
+    assert lines[0].split(",")[:3] == ["epoch", "step", "loss"]
+    assert len(lines) >= 2
+    loss_vals = [float(l.split(",")[2]) for l in lines[1:]]
+    assert all(np.isfinite(v) for v in loss_vals)
+    assert os.path.isdir(os.path.join(rd, "ckpt", "bestLossModel"))
+    assert not os.path.isdir(os.path.join(rd, "ckpt", "bestAucModel"))
+
+
+def test_evaluation_info_gates_best_checkpoints(fixture_dir, tmp_path):
+    """--evaluation_info metrics (the reference's train2.txt setting) keeps
+    bestAucModel selection but drops bestLossModel; the eval.csv loss column
+    stays empty (reference: src/trainer.py:181-206, 290-296)."""
+    args = _train_args(fixture_dir, str(tmp_path))
+    args.evaluation_info = ["metrics"]
+    args.num_train_epochs = 1
+    Trainer(args).train()
+    rd = glob.glob(os.path.join(str(tmp_path), "train", "*"))[0]
+    assert os.path.isdir(os.path.join(rd, "ckpt", "bestAucModel"))
+    assert not os.path.isdir(os.path.join(rd, "ckpt", "bestLossModel"))
+    import csv
+
+    rows = list(csv.DictReader(open(os.path.join(rd, "eval.csv"))))
+    assert rows and all(r["loss"] == "" for r in rows)
+    assert all(np.isfinite(float(r["auc"])) for r in rows)
 
 
 def test_eval_standalone(fixture_dir, tmp_path):
