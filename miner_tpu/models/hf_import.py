@@ -46,11 +46,82 @@ def convert_plm_params(checkpoint_dir: str, num_layers: int) -> Dict:
     )
 
 
-def convert_plm_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
-    """In-memory transformers state dict -> TransformerPLM params subtree."""
+def convert_bert_layer(sd: Dict[str, np.ndarray], p: str) -> Dict:
+    """One HF-BERT-format encoder layer (torch keys under prefix ``p``) ->
+    our ``TransformerLayer`` params subtree, QKV fused."""
 
     def t(name):  # torch Linear weight -> flax kernel
         return np.asarray(sd[name]).T
+
+    def v(name):
+        return np.asarray(sd[name])
+
+    q_w = t(p + "attention.self.query.weight")
+    k_w = t(p + "attention.self.key.weight")
+    v_w = t(p + "attention.self.value.weight")
+    q_b = v(p + "attention.self.query.bias")
+    k_b = v(p + "attention.self.key.bias")
+    v_b = v(p + "attention.self.value.bias")
+    return {
+        "attention": {
+            "qkv": {
+                "kernel": np.concatenate([q_w, k_w, v_w], axis=1),
+                "bias": np.concatenate([q_b, k_b, v_b]),
+            },
+            "out": {
+                "kernel": t(p + "attention.output.dense.weight"),
+                "bias": v(p + "attention.output.dense.bias"),
+            },
+        },
+        "attention_ln": {
+            "scale": v(p + "attention.output.LayerNorm.weight"),
+            "bias": v(p + "attention.output.LayerNorm.bias"),
+        },
+        "ffn_in": {
+            "kernel": t(p + "intermediate.dense.weight"),
+            "bias": v(p + "intermediate.dense.bias"),
+        },
+        "ffn_out": {
+            "kernel": t(p + "output.dense.weight"),
+            "bias": v(p + "output.dense.bias"),
+        },
+        "ffn_ln": {
+            "scale": v(p + "output.LayerNorm.weight"),
+            "bias": v(p + "output.LayerNorm.bias"),
+        },
+    }
+
+
+def export_bert_layer(lp: Dict, p: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_bert_layer`: ``TransformerLayer`` subtree ->
+    HF-BERT-format torch keys under prefix ``p`` (fused QKV split back)."""
+
+    def a(x):
+        return np.asarray(x)
+
+    sd: Dict[str, np.ndarray] = {}
+    qkv_k = a(lp["attention"]["qkv"]["kernel"])  # (D, 3D)
+    qkv_b = a(lp["attention"]["qkv"]["bias"])
+    D = qkv_k.shape[0]
+    for j, name in enumerate(("query", "key", "value")):
+        sd[p + f"attention.self.{name}.weight"] = qkv_k[:, j * D:(j + 1) * D].T
+        sd[p + f"attention.self.{name}.bias"] = qkv_b[j * D:(j + 1) * D]
+    sd[p + "attention.output.dense.weight"] = a(
+        lp["attention"]["out"]["kernel"]).T
+    sd[p + "attention.output.dense.bias"] = a(lp["attention"]["out"]["bias"])
+    sd[p + "attention.output.LayerNorm.weight"] = a(lp["attention_ln"]["scale"])
+    sd[p + "attention.output.LayerNorm.bias"] = a(lp["attention_ln"]["bias"])
+    sd[p + "intermediate.dense.weight"] = a(lp["ffn_in"]["kernel"]).T
+    sd[p + "intermediate.dense.bias"] = a(lp["ffn_in"]["bias"])
+    sd[p + "output.dense.weight"] = a(lp["ffn_out"]["kernel"]).T
+    sd[p + "output.dense.bias"] = a(lp["ffn_out"]["bias"])
+    sd[p + "output.LayerNorm.weight"] = a(lp["ffn_ln"]["scale"])
+    sd[p + "output.LayerNorm.bias"] = a(lp["ffn_ln"]["bias"])
+    return sd
+
+
+def convert_plm_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    """In-memory transformers state dict -> TransformerPLM params subtree."""
 
     def v(name):
         return np.asarray(sd[name])
@@ -71,41 +142,7 @@ def convert_plm_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
         }
     }
     for i in range(num_layers):
-        p = f"encoder.layer.{i}."
-        q_w = t(p + "attention.self.query.weight")
-        k_w = t(p + "attention.self.key.weight")
-        v_w = t(p + "attention.self.value.weight")
-        q_b = v(p + "attention.self.query.bias")
-        k_b = v(p + "attention.self.key.bias")
-        v_b = v(p + "attention.self.value.bias")
-        params[f"layer_{i}"] = {
-            "attention": {
-                "qkv": {
-                    "kernel": np.concatenate([q_w, k_w, v_w], axis=1),
-                    "bias": np.concatenate([q_b, k_b, v_b]),
-                },
-                "out": {
-                    "kernel": t(p + "attention.output.dense.weight"),
-                    "bias": v(p + "attention.output.dense.bias"),
-                },
-            },
-            "attention_ln": {
-                "scale": v(p + "attention.output.LayerNorm.weight"),
-                "bias": v(p + "attention.output.LayerNorm.bias"),
-            },
-            "ffn_in": {
-                "kernel": t(p + "intermediate.dense.weight"),
-                "bias": v(p + "intermediate.dense.bias"),
-            },
-            "ffn_out": {
-                "kernel": t(p + "output.dense.weight"),
-                "bias": v(p + "output.dense.bias"),
-            },
-            "ffn_ln": {
-                "scale": v(p + "output.LayerNorm.weight"),
-                "bias": v(p + "output.LayerNorm.bias"),
-            },
-        }
+        params[f"layer_{i}"] = convert_bert_layer(sd, f"encoder.layer.{i}.")
     return params
 
 
@@ -150,18 +187,11 @@ def unstack_layer_params(plm_params: Dict) -> Dict:
     return out
 
 
-def convert_miner_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
-    """Reference-format MINER torch state dict -> our full Miner param tree.
-
-    Maps every trainable tensor of the reference ``Miner`` (reference:
-    src/model/model.py:13-138 + src/model/news_encoder.py:11-110) onto
-    ``miner_tpu.models.miner.Miner``'s parameter layout, fusing the QKV
-    projections. Lets a user of the reference bring a trained checkpoint's
-    ``state_dict`` across (see tools/import_reference_checkpoint.py), and
-    powers the step-level torch-vs-JAX training-parity test
-    (tests/test_torch_parity.py).
-    """
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+def _convert_news_encoder(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    """The reference ``NewsEncoder`` subtree (torch keys under
+    ``news_encoder.``) -> our ``NewsEncoder`` params subtree.  Shared by the
+    Miner and Fastformer converters (both reference models hold the same
+    news tower; reference: src/model/news_encoder.py:11-110)."""
     if any(k.startswith("news_encoder.lstm.") for k in sd):
         raise ValueError(
             "cannot import a --combine_type lstm checkpoint: the reference's "
@@ -194,9 +224,30 @@ def convert_miner_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict
             "kernel": t("news_encoder.linear_combine.weight"),
             "bias": v("news_encoder.linear_combine.bias"),
         }
+    return news_encoder
+
+
+def convert_miner_state_dict(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
+    """Reference-format MINER torch state dict -> our full Miner param tree.
+
+    Maps every trainable tensor of the reference ``Miner`` (reference:
+    src/model/model.py:13-138 + src/model/news_encoder.py:11-110) onto
+    ``miner_tpu.models.miner.Miner``'s parameter layout, fusing the QKV
+    projections. Lets a user of the reference bring a trained checkpoint's
+    ``state_dict`` across (see tools/import_reference_checkpoint.py), and
+    powers the step-level torch-vs-JAX training-parity test
+    (tests/test_torch_parity.py).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def t(name):
+        return sd[name].T
+
+    def v(name):
+        return sd[name]
 
     params: Dict = {
-        "news_encoder": news_encoder,
+        "news_encoder": _convert_news_encoder(sd, num_layers),
         "poly_attn": {
             "proj_kernel": t("poly_attn.linear.weight"),
             "context_codes": v("poly_attn.context_codes"),
@@ -237,45 +288,18 @@ def export_plm_state_dict(plm: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
     sd[prefix + "embeddings.LayerNorm.bias"] = a(emb["ln"]["bias"])
     i = 0
     while f"layer_{i}" in plm:
-        lp = plm[f"layer_{i}"]
-        p = f"{prefix}encoder.layer.{i}."
-        qkv_k = a(lp["attention"]["qkv"]["kernel"])  # (D, 3D)
-        qkv_b = a(lp["attention"]["qkv"]["bias"])
-        D = qkv_k.shape[0]
-        for j, name in enumerate(("query", "key", "value")):
-            sd[p + f"attention.self.{name}.weight"] = (
-                qkv_k[:, j * D:(j + 1) * D].T)
-            sd[p + f"attention.self.{name}.bias"] = qkv_b[j * D:(j + 1) * D]
-        sd[p + "attention.output.dense.weight"] = a(
-            lp["attention"]["out"]["kernel"]).T
-        sd[p + "attention.output.dense.bias"] = a(lp["attention"]["out"]["bias"])
-        sd[p + "attention.output.LayerNorm.weight"] = a(lp["attention_ln"]["scale"])
-        sd[p + "attention.output.LayerNorm.bias"] = a(lp["attention_ln"]["bias"])
-        sd[p + "intermediate.dense.weight"] = a(lp["ffn_in"]["kernel"]).T
-        sd[p + "intermediate.dense.bias"] = a(lp["ffn_in"]["bias"])
-        sd[p + "output.dense.weight"] = a(lp["ffn_out"]["kernel"]).T
-        sd[p + "output.dense.bias"] = a(lp["ffn_out"]["bias"])
-        sd[p + "output.LayerNorm.weight"] = a(lp["ffn_ln"]["scale"])
-        sd[p + "output.LayerNorm.bias"] = a(lp["ffn_ln"]["bias"])
+        sd.update(export_bert_layer(plm[f"layer_{i}"],
+                                    f"{prefix}encoder.layer.{i}."))
         i += 1
     return sd
 
 
-def export_miner_state_dict(params: Dict,
-                            plm_name: str = "roberta") -> Dict[str, np.ndarray]:
-    """Our full ``Miner`` param tree -> reference-format torch state dict.
-
-    Exact inverse of :func:`convert_miner_state_dict` — lets a model trained
-    here load into the reference ``Miner`` (reference: src/model/model.py:
-    13-138) via ``load_state_dict(..., strict=False)`` (the reference also
-    carries non-trainable buffers like ``position_ids`` that ``strict=False``
-    regenerates). See tools/export_to_reference.py for the checkpoint-dir
-    front end; round-trip-tested in tests/test_hf_import.py."""
+def _export_news_encoder(ne: Dict, plm_name: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_convert_news_encoder`."""
 
     def a(x):
         return np.asarray(x)
 
-    ne = params["news_encoder"]
     if "lstm_combine" in ne:
         raise ValueError(
             "cannot export a --combine_type lstm model to the reference "
@@ -293,6 +317,24 @@ def export_miner_state_dict(params: Dict,
         sd["news_encoder.linear_combine.weight"] = a(
             ne["linear_combine"]["kernel"]).T
         sd["news_encoder.linear_combine.bias"] = a(ne["linear_combine"]["bias"])
+    return sd
+
+
+def export_miner_state_dict(params: Dict,
+                            plm_name: str = "roberta") -> Dict[str, np.ndarray]:
+    """Our full ``Miner`` param tree -> reference-format torch state dict.
+
+    Exact inverse of :func:`convert_miner_state_dict` — lets a model trained
+    here load into the reference ``Miner`` (reference: src/model/model.py:
+    13-138) via ``load_state_dict(..., strict=False)`` (the reference also
+    carries non-trainable buffers like ``position_ids`` that ``strict=False``
+    regenerates). See tools/export_to_reference.py for the checkpoint-dir
+    front end; round-trip-tested in tests/test_hf_import.py."""
+
+    def a(x):
+        return np.asarray(x)
+
+    sd = _export_news_encoder(params["news_encoder"], plm_name)
     sd["poly_attn.linear.weight"] = a(params["poly_attn"]["proj_kernel"]).T
     sd["poly_attn.context_codes"] = a(params["poly_attn"]["context_codes"])
     if "category_embedding" in params:
@@ -301,6 +343,218 @@ def export_miner_state_dict(params: Dict,
     if "target_aware_attn" in params:
         sd["target_aware_attn.linear.weight"] = a(
             params["target_aware_attn"]["proj"]["kernel"]).T
+    return sd
+
+
+def convert_fastformer_state_dict(sd: Dict[str, np.ndarray],
+                                  num_layers: int) -> Dict:
+    """Reference-format Fastformer torch state dict -> our
+    ``FastformerUserModel`` param tree.
+
+    Covers every trainable tensor of the reference ``FastFormer``
+    (reference: src/model/model.py:223-341: the shared news tower +
+    ``fast_attn`` = FastformerEncoder with position embeddings, LayerNorm,
+    ``encoders.{i}`` additive-attention layers, and ``poolers.0``).
+    ``num_layers`` is the PLM tower depth (the Fastformer layer count is
+    read from the dict).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def t(name):
+        return sd[name].T
+
+    def v(name):
+        return sd[name]
+
+    fast: Dict = {
+        "position_embeddings": {
+            "embedding": v("fast_attn.position_embeddings.weight")
+        },
+        "ln": {
+            "scale": v("fast_attn.LayerNorm.weight"),
+            "bias": v("fast_attn.LayerNorm.bias"),
+        },
+        "pooler": {
+            "fc1": {"kernel": t("fast_attn.poolers.0.att_fc1.weight"),
+                    "bias": v("fast_attn.poolers.0.att_fc1.bias")},
+            "fc2": {"kernel": t("fast_attn.poolers.0.att_fc2.weight"),
+                    "bias": v("fast_attn.poolers.0.att_fc2.bias")},
+        },
+    }
+    i = 0
+    while f"fast_attn.encoders.{i}.attention.self.query.weight" in sd:
+        p = f"fast_attn.encoders.{i}."
+        fast[f"layer_{i}"] = {
+            "self_attn": {
+                "query": {"kernel": t(p + "attention.self.query.weight"),
+                          "bias": v(p + "attention.self.query.bias")},
+                "key": {"kernel": t(p + "attention.self.key.weight"),
+                        "bias": v(p + "attention.self.key.bias")},
+                "query_att_kernel": t(p + "attention.self.query_att.weight"),
+                "query_att_bias": v(p + "attention.self.query_att.bias"),
+                "key_att_kernel": t(p + "attention.self.key_att.weight"),
+                "key_att_bias": v(p + "attention.self.key_att.bias"),
+                "transform": {"kernel": t(p + "attention.self.transform.weight"),
+                              "bias": v(p + "attention.self.transform.bias")},
+            },
+            "attn_out": {"kernel": t(p + "attention.output.dense.weight"),
+                         "bias": v(p + "attention.output.dense.bias")},
+            "attn_ln": {"scale": v(p + "attention.output.LayerNorm.weight"),
+                        "bias": v(p + "attention.output.LayerNorm.bias")},
+            "ffn_in": {"kernel": t(p + "intermediate.dense.weight"),
+                       "bias": v(p + "intermediate.dense.bias")},
+            "ffn_out": {"kernel": t(p + "output.dense.weight"),
+                        "bias": v(p + "output.dense.bias")},
+            "ffn_ln": {"scale": v(p + "output.LayerNorm.weight"),
+                       "bias": v(p + "output.LayerNorm.bias")},
+        }
+        i += 1
+    return {
+        "news_encoder": _convert_news_encoder(sd, num_layers),
+        "fast_attn": fast,
+    }
+
+
+def export_fastformer_state_dict(params: Dict,
+                                 plm_name: str = "roberta") -> Dict[str, np.ndarray]:
+    """Exact inverse of :func:`convert_fastformer_state_dict` — lets a
+    Fastformer trained here load into the reference ``FastFormer``
+    (reference: src/model/model.py:223-341) via ``load_state_dict(...,
+    strict=False)``."""
+
+    def a(x):
+        return np.asarray(x)
+
+    sd = _export_news_encoder(params["news_encoder"], plm_name)
+    fast = params["fast_attn"]
+    sd["fast_attn.position_embeddings.weight"] = a(
+        fast["position_embeddings"]["embedding"])
+    sd["fast_attn.LayerNorm.weight"] = a(fast["ln"]["scale"])
+    sd["fast_attn.LayerNorm.bias"] = a(fast["ln"]["bias"])
+    sd["fast_attn.poolers.0.att_fc1.weight"] = a(
+        fast["pooler"]["fc1"]["kernel"]).T
+    sd["fast_attn.poolers.0.att_fc1.bias"] = a(fast["pooler"]["fc1"]["bias"])
+    sd["fast_attn.poolers.0.att_fc2.weight"] = a(
+        fast["pooler"]["fc2"]["kernel"]).T
+    sd["fast_attn.poolers.0.att_fc2.bias"] = a(fast["pooler"]["fc2"]["bias"])
+    i = 0
+    while f"layer_{i}" in fast:
+        lp = fast[f"layer_{i}"]
+        p = f"fast_attn.encoders.{i}."
+        sa = lp["self_attn"]
+        sd[p + "attention.self.query.weight"] = a(sa["query"]["kernel"]).T
+        sd[p + "attention.self.query.bias"] = a(sa["query"]["bias"])
+        sd[p + "attention.self.key.weight"] = a(sa["key"]["kernel"]).T
+        sd[p + "attention.self.key.bias"] = a(sa["key"]["bias"])
+        sd[p + "attention.self.query_att.weight"] = a(sa["query_att_kernel"]).T
+        sd[p + "attention.self.query_att.bias"] = a(sa["query_att_bias"])
+        sd[p + "attention.self.key_att.weight"] = a(sa["key_att_kernel"]).T
+        sd[p + "attention.self.key_att.bias"] = a(sa["key_att_bias"])
+        sd[p + "attention.self.transform.weight"] = a(sa["transform"]["kernel"]).T
+        sd[p + "attention.self.transform.bias"] = a(sa["transform"]["bias"])
+        sd[p + "attention.output.dense.weight"] = a(lp["attn_out"]["kernel"]).T
+        sd[p + "attention.output.dense.bias"] = a(lp["attn_out"]["bias"])
+        sd[p + "attention.output.LayerNorm.weight"] = a(lp["attn_ln"]["scale"])
+        sd[p + "attention.output.LayerNorm.bias"] = a(lp["attn_ln"]["bias"])
+        sd[p + "intermediate.dense.weight"] = a(lp["ffn_in"]["kernel"]).T
+        sd[p + "intermediate.dense.bias"] = a(lp["ffn_in"]["bias"])
+        sd[p + "output.dense.weight"] = a(lp["ffn_out"]["kernel"]).T
+        sd[p + "output.dense.bias"] = a(lp["ffn_out"]["bias"])
+        sd[p + "output.LayerNorm.weight"] = a(lp["ffn_ln"]["scale"])
+        sd[p + "output.LayerNorm.bias"] = a(lp["ffn_ln"]["bias"])
+        i += 1
+    return sd
+
+
+def convert_unbert_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Reference-format UNBERT torch state dict -> our ``UNBert`` param tree.
+
+    The reference model (reference: src/model/model_unbert.py:88-289) is
+    ``_model`` (UNBertModel: embeddings incl. the 64-entry news-``segment_
+    embeddings``, a word-level ``encoder``, a news-level ``encoder_news``,
+    and an unused-in-the-score ``pooler``) plus the ``_dense`` head and the
+    optional attention-mode ``att`` MLP.  ``_model.pooler.*`` has no
+    counterpart here: its output is computed but never consumed by the score
+    path (model_unbert.py:158, 276-289), so it is deliberately dropped.
+    Layer counts are read from the dict.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def t(name):
+        return sd[name].T
+
+    def v(name):
+        return sd[name]
+
+    e = "_model.embeddings."
+    params: Dict = {
+        "word_embeddings": {"embedding": v(e + "word_embeddings.weight")},
+        "position_embeddings": {"embedding": v(e + "position_embeddings.weight")},
+        "token_type_embeddings": {
+            "embedding": v(e + "token_type_embeddings.weight")
+        },
+        "news_segment_embeddings": {"embedding": v(e + "segment_embeddings.weight")},
+        "emb_ln": {"scale": v(e + "LayerNorm.weight"),
+                   "bias": v(e + "LayerNorm.bias")},
+        "score_head": {"kernel": t("_dense.weight"), "bias": v("_dense.bias")},
+    }
+    i = 0
+    while f"_model.encoder.layer.{i}.attention.self.query.weight" in sd:
+        params[f"word_layer_{i}"] = convert_bert_layer(
+            sd, f"_model.encoder.layer.{i}.")
+        i += 1
+    i = 0
+    while f"_model.encoder_news.layer.{i}.attention.self.query.weight" in sd:
+        params[f"news_layer_{i}"] = convert_bert_layer(
+            sd, f"_model.encoder_news.layer.{i}.")
+        i += 1
+    if "att.0.weight" in sd:  # attention news_mode's Sequential MLP
+        params["att_mapping_in"] = {"kernel": t("att.0.weight"),
+                                    "bias": v("att.0.bias")}
+        params["att_mapping_out"] = {"kernel": t("att.2.weight"),
+                                     "bias": v("att.2.bias")}
+    return params
+
+
+def export_unbert_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    """Exact inverse of :func:`convert_unbert_state_dict` — lets a UnBERT
+    trained here load into the reference ``UNBERT`` via
+    ``load_state_dict(..., strict=False)`` (strict=False regenerates the
+    ``_model.pooler.*`` tensors we never train; they do not affect the
+    reference's score, model_unbert.py:276-289)."""
+
+    def a(x):
+        return np.asarray(x)
+
+    e = "_model.embeddings."
+    sd: Dict[str, np.ndarray] = {
+        e + "word_embeddings.weight": a(params["word_embeddings"]["embedding"]),
+        e + "position_embeddings.weight": a(
+            params["position_embeddings"]["embedding"]),
+        e + "token_type_embeddings.weight": a(
+            params["token_type_embeddings"]["embedding"]),
+        e + "segment_embeddings.weight": a(
+            params["news_segment_embeddings"]["embedding"]),
+        e + "LayerNorm.weight": a(params["emb_ln"]["scale"]),
+        e + "LayerNorm.bias": a(params["emb_ln"]["bias"]),
+        "_dense.weight": a(params["score_head"]["kernel"]).T,
+        "_dense.bias": a(params["score_head"]["bias"]),
+    }
+    i = 0
+    while f"word_layer_{i}" in params:
+        sd.update(export_bert_layer(params[f"word_layer_{i}"],
+                                    f"_model.encoder.layer.{i}."))
+        i += 1
+    i = 0
+    while f"news_layer_{i}" in params:
+        sd.update(export_bert_layer(params[f"news_layer_{i}"],
+                                    f"_model.encoder_news.layer.{i}."))
+        i += 1
+    if "att_mapping_in" in params:
+        sd["att.0.weight"] = a(params["att_mapping_in"]["kernel"]).T
+        sd["att.0.bias"] = a(params["att_mapping_in"]["bias"])
+        sd["att.2.weight"] = a(params["att_mapping_out"]["kernel"]).T
+        sd["att.2.bias"] = a(params["att_mapping_out"]["bias"])
     return sd
 
 
@@ -393,6 +647,112 @@ def convert_unisrec_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
             moe["w_noise"] = v("moe_adaptor.w_noise")
         out["news_encoder"] = {"moe_adaptor": moe}
     return out
+
+
+def convert_unisrec_model_state_dict(sd: Dict[str, np.ndarray],
+                                     num_layers: int) -> Dict:
+    """Full reference-format UniSRec torch state dict -> our full param tree.
+
+    Unlike :func:`convert_unisrec_state_dict` (which maps the *partial*
+    RecBole ``unisrec_pretained_state_dict.pth`` whose keys sit at the top
+    level), this maps a complete trained ``UniSRec`` model state dict
+    (reference: src/model/model_unisrec.py:369-450: ``news_encoder.roberta.*``
+    + ``news_encoder.moe_adaptor.*`` + ``position_embedding`` /
+    ``trm_encoder.layer.{i}.*`` / top-level ``LayerNorm``) onto
+    ``miner_tpu.models.unisrec.UniSRec``'s layout.  ``num_layers`` is the PLM
+    tower depth; the sequential-encoder depth is read from the dict.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    def t(name):
+        return sd[name].T
+
+    def v(name):
+        return sd[name]
+
+    # Route the seq-encoder + adaptor keys through the partial converter by
+    # presenting them at the top-level spelling it expects.
+    sub = {k: vv for k, vv in sd.items()
+           if not k.startswith("news_encoder.")}
+    sub.update({k[len("news_encoder."):]: vv for k, vv in sd.items()
+                if k.startswith("news_encoder.moe_adaptor.")})
+    params = convert_unisrec_state_dict(sub)
+
+    # The reference NewsEncoderMoe's PLM attribute is named ``roberta`` even
+    # when it holds a BertModel (reference: src/model/news_encoder.py:190).
+    plm_sd = {k[len("news_encoder.roberta."):]: vv for k, vv in sd.items()
+              if k.startswith("news_encoder.roberta.")}
+    if not plm_sd:
+        plm_sd = {k[len("news_encoder.bert."):]: vv for k, vv in sd.items()
+                  if k.startswith("news_encoder.bert.")}
+    ne = params.setdefault("news_encoder", {})
+    ne["plm"] = convert_plm_state_dict(plm_sd, num_layers)
+    if "news_encoder.linear_combine.weight" in sd:
+        ne["linear_combine"] = {
+            "kernel": t("news_encoder.linear_combine.weight"),
+            "bias": v("news_encoder.linear_combine.bias"),
+        }
+    return params
+
+
+def export_unisrec_state_dict(params: Dict,
+                              plm_name: str = "roberta") -> Dict[str, np.ndarray]:
+    """Exact inverse of :func:`convert_unisrec_model_state_dict` — lets a
+    UniSRec trained here load into the reference ``UniSRec`` (reference:
+    src/model/model_unisrec.py:369-450) via ``load_state_dict(...,
+    strict=False)``.  The batched (E, D_in, D_out) expert tensor unstacks
+    back into per-expert ``moe_adaptor.experts.{i}.lin.weight`` / ``.bias``
+    keys and the fused QKV kernels split back into RecBole's
+    ``multi_head_attention.{query,key,value}`` spellings."""
+
+    def a(x):
+        return np.asarray(x)
+
+    ne = params["news_encoder"]
+    sd = export_plm_state_dict(ne["plm"], prefix=f"news_encoder.{plm_name}.")
+    moe = ne["moe_adaptor"]
+    sd["news_encoder.moe_adaptor.w_gate"] = a(moe["w_gate"])
+    sd["news_encoder.moe_adaptor.w_noise"] = a(moe["w_noise"])
+    kernel = a(moe["experts"]["kernel"])  # (E, D_in, D_out)
+    bias = a(moe["experts"]["bias"])  # (E, D_in)
+    for i in range(kernel.shape[0]):
+        sd[f"news_encoder.moe_adaptor.experts.{i}.lin.weight"] = kernel[i].T
+        sd[f"news_encoder.moe_adaptor.experts.{i}.bias"] = bias[i]
+    if "linear_combine" in ne:
+        sd["news_encoder.linear_combine.weight"] = a(
+            ne["linear_combine"]["kernel"]).T
+        sd["news_encoder.linear_combine.bias"] = a(ne["linear_combine"]["bias"])
+
+    sd["position_embedding.weight"] = a(params["position_embedding"]["embedding"])
+    sd["LayerNorm.weight"] = a(params["ln"]["scale"])
+    sd["LayerNorm.bias"] = a(params["ln"]["bias"])
+    i = 0
+    while f"trm_layer_{i}" in params:
+        lp = params[f"trm_layer_{i}"]
+        p = f"trm_encoder.layer.{i}."
+        qkv_k = a(lp["attention"]["qkv"]["kernel"])  # (D, 3D)
+        qkv_b = a(lp["attention"]["qkv"]["bias"])
+        D = qkv_k.shape[0]
+        for j, name in enumerate(("query", "key", "value")):
+            sd[p + f"multi_head_attention.{name}.weight"] = (
+                qkv_k[:, j * D:(j + 1) * D].T)
+            sd[p + f"multi_head_attention.{name}.bias"] = qkv_b[j * D:(j + 1) * D]
+        sd[p + "multi_head_attention.dense.weight"] = a(
+            lp["attention"]["out"]["kernel"]).T
+        sd[p + "multi_head_attention.dense.bias"] = a(
+            lp["attention"]["out"]["bias"])
+        sd[p + "multi_head_attention.LayerNorm.weight"] = a(
+            lp["attention_ln"]["scale"])
+        sd[p + "multi_head_attention.LayerNorm.bias"] = a(
+            lp["attention_ln"]["bias"])
+        sd[p + "feed_forward.dense_1.weight"] = a(lp["ffn_in"]["kernel"]).T
+        sd[p + "feed_forward.dense_1.bias"] = a(lp["ffn_in"]["bias"])
+        sd[p + "feed_forward.dense_2.weight"] = a(lp["ffn_out"]["kernel"]).T
+        sd[p + "feed_forward.dense_2.bias"] = a(lp["ffn_out"]["bias"])
+        sd[p + "feed_forward.LayerNorm.weight"] = a(lp["ffn_ln"]["scale"])
+        sd[p + "feed_forward.LayerNorm.bias"] = a(lp["ffn_ln"]["bias"])
+        i += 1
+    return sd
 
 
 def load_unisrec_pretrained(params, pth_path: str):

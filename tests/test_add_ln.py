@@ -4,6 +4,8 @@ tools/validate_add_ln_tpu.py."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from miner_tpu.data import (
     Batcher,
     BehaviorsLog,

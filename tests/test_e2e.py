@@ -56,6 +56,7 @@ def _train_args(fixture_dir, out_dir, extra=()):
     return make_parser().parse_args(argv)
 
 
+@pytest.mark.smoke
 def test_miner_train_e2e(fixture_dir, tmp_path):
     args = _train_args(fixture_dir, str(tmp_path))
     trainer = Trainer(args)
@@ -90,6 +91,7 @@ def test_miner_train_learns_signal(fixture_dir, tmp_path):
     assert last < first, f"loss did not decrease: {first} -> {last}"
 
 
+@pytest.mark.smoke
 def test_fastformer_train_e2e(fixture_dir, tmp_path):
     args = _train_args(fixture_dir, str(tmp_path))
     args.model_name = "fastformer"
@@ -99,6 +101,7 @@ def test_fastformer_train_e2e(fixture_dir, tmp_path):
     assert int(state.step) > 0
 
 
+@pytest.mark.smoke
 def test_unisrec_train_e2e(fixture_dir, tmp_path):
     args = _train_args(fixture_dir, str(tmp_path))
     args.model_name = "unisrec"
@@ -212,6 +215,7 @@ def test_legacy_layout_train_e2e(fixture_dir, tmp_path):
     assert len(lines) >= 2
 
 
+@pytest.mark.smoke
 def test_pretrain_e2e(fixture_dir, tmp_path):
     """Pretraining runs its own eval loop: periodic contrastive eval loss
     over the eval behaviors with best-loss checkpointing (reference:

@@ -347,3 +347,142 @@ def test_lstm_combine_transfer_raises_loudly():
     with pytest.raises(ValueError, match="lstm"):
         convert_miner_state_dict(
             {"news_encoder.lstm.weight_ih_l0": np.zeros((4, 4))}, num_layers=1)
+
+
+def _round_trip_check(params, sd, back):
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = dict(
+        ("/".join(str(k) for k in path), leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(back)[0]
+    )
+    assert len(flat_a) == len(flat_b), (
+        sorted("/".join(str(k) for k in p) for p, _ in flat_a),
+        sorted(flat_b),
+    )
+    for path, leaf in flat_a:
+        key = "/".join(str(k) for k in path)
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[key]), err_msg=key)
+
+
+def test_export_fastformer_round_trip():
+    """export_fastformer_state_dict is the exact inverse of
+    convert_fastformer_state_dict (every trainable tensor of the reference
+    FastFormer, src/model/model.py:223-341, round-trips)."""
+    from miner_tpu.models import FastformerUserModel, NewsEncoder
+    from miner_tpu.models.fastformer import FastformerConfig
+    from miner_tpu.models.hf_import import (
+        convert_fastformer_state_dict,
+        export_fastformer_state_dict,
+    )
+
+    cfg = PLMConfig.tiny()
+    enc = NewsEncoder(plm_cfg=cfg, apply_reduce_dim=True, word_embed_dim=32,
+                      use_sapo=True, combine_type="linear")
+    fcfg = FastformerConfig(hidden_size=32, num_heads=4, intermediate_size=32,
+                            max_position_embeddings=16)
+    model = FastformerUserModel(news_encoder=enc, cfg=fcfg)
+    B, C, H, L = 2, 3, 4, 8
+    rng = np.random.default_rng(0)
+    ids = lambda shape: jnp.asarray(
+        rng.integers(1, cfg.vocab_size, size=shape).astype(np.int32))
+    ones = lambda shape: jnp.ones(shape, jnp.int32)
+    batch = {
+        "cand_title": ids((B, C, L)), "cand_title_mask": ones((B, C, L)),
+        "his_title": ids((B, H, L)), "his_title_mask": ones((B, H, L)),
+        "cand_sapo": ids((B, C, L)), "cand_sapo_mask": ones((B, C, L)),
+        "his_sapo": ids((B, H, L)), "his_sapo_mask": ones((B, H, L)),
+        "his_mask": ones((B, H)),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)["params"]
+    sd = export_fastformer_state_dict(params, plm_name="roberta")
+    back = convert_fastformer_state_dict(sd, num_layers=cfg.num_layers)
+    _round_trip_check(params, sd, back)
+    # reference-format key spelling spot checks (src/model/model.py:268-271,
+    # 482-500): FastformerEncoder layers live under fast_attn.encoders.{i}
+    assert "fast_attn.encoders.0.attention.self.query_att.weight" in sd
+    assert "fast_attn.poolers.0.att_fc1.weight" in sd
+    assert "fast_attn.position_embeddings.weight" in sd
+
+
+def test_export_unbert_round_trip():
+    """export_unbert_state_dict is the exact inverse of
+    convert_unbert_state_dict (reference UNBERT layout,
+    src/model/model_unbert.py:88-289; the untrained _model.pooler.* is
+    deliberately absent — strict=False regenerates it and the score never
+    consumes it)."""
+    from miner_tpu.data.unbert_packing import SEQ_MAX_LEN
+    from miner_tpu.models.hf_import import (
+        convert_unbert_state_dict,
+        export_unbert_state_dict,
+    )
+    from miner_tpu.models.unbert import UNBert
+    import dataclasses as dc
+
+    cfg = dc.replace(PLMConfig.tiny(), type_vocab_size=2,
+                     max_position_embeddings=SEQ_MAX_LEN + 2)
+    model = UNBert(cfg=cfg, num_news_layers=1, news_mode="nseg")
+    B, L, S = 2, 32, 4
+    rng = np.random.default_rng(0)
+    feat = {
+        "input_ids": jnp.asarray(
+            rng.integers(1, cfg.vocab_size, size=(B, L)).astype(np.int32)),
+        "input_mask": jnp.ones((B, L), jnp.int32),
+        "segment_ids": jnp.zeros((B, L), jnp.int32),
+        "news_segment_ids": jnp.zeros((B, L), jnp.int32),
+        "sentence_ids": jnp.asarray(
+            np.tile(np.arange(S, dtype=np.int32) * 4, (B, 1))),
+        "sentence_mask": jnp.ones((B, S), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), feat)["params"]
+    sd = export_unbert_state_dict(params)
+    back = convert_unbert_state_dict(sd)
+    _round_trip_check(params, sd, back)
+    assert "_model.embeddings.segment_embeddings.weight" in sd
+    assert "_model.encoder.layer.0.attention.self.query.weight" in sd
+    assert "_model.encoder_news.layer.0.attention.self.query.weight" in sd
+    assert "_dense.weight" in sd
+    assert sd["_dense.weight"].shape[0] == 2  # 2-logit head, score = [:, 1]
+
+
+def test_export_unisrec_round_trip():
+    """export_unisrec_state_dict inverts convert_unisrec_model_state_dict
+    over the FULL reference UniSRec layout (news_encoder.roberta.* +
+    news_encoder.moe_adaptor.* + position_embedding/trm_encoder/LayerNorm;
+    src/model/model_unisrec.py:369-450)."""
+    from miner_tpu.models import UniSRec
+    from miner_tpu.models.news_encoder import NewsEncoderMoe
+    from miner_tpu.models.hf_import import (
+        convert_unisrec_model_state_dict,
+        export_unisrec_state_dict,
+    )
+
+    cfg = PLMConfig.tiny()
+    enc = NewsEncoderMoe(plm_cfg=cfg, use_sapo=False,
+                         combine_type="pre-concat", n_experts=3,
+                         adaptor_out_dim=24)
+    model = UniSRec(news_encoder=enc, max_his_len=4)
+    B, C, H, L = 2, 3, 4, 8
+    rng = np.random.default_rng(0)
+    ids = lambda shape: jnp.asarray(
+        rng.integers(1, cfg.vocab_size, size=shape).astype(np.int32))
+    ones = lambda shape: jnp.ones(shape, jnp.int32)
+    batch = {
+        "cand_title": ids((B, C, L)), "cand_title_mask": ones((B, C, L)),
+        "his_title": ids((B, H, L)), "his_title_mask": ones((B, H, L)),
+        "his_mask": ones((B, H)),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "gating": jax.random.PRNGKey(1)},
+        batch)["params"]
+    sd = export_unisrec_state_dict(params, plm_name="roberta")
+    back = convert_unisrec_model_state_dict(sd, num_layers=cfg.num_layers)
+    _round_trip_check(params, sd, back)
+    # RecBole-format spellings the reference's strict=False load keys on
+    # (src/model/model_unisrec.py:59-343)
+    assert "news_encoder.moe_adaptor.experts.0.lin.weight" in sd
+    assert "news_encoder.moe_adaptor.w_gate" in sd
+    assert "trm_encoder.layer.0.multi_head_attention.query.weight" in sd
+    assert "trm_encoder.layer.0.feed_forward.dense_1.weight" in sd
+    assert "position_embedding.weight" in sd
+    assert "LayerNorm.weight" in sd

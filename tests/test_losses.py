@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 import jax.numpy as jnp
 
 from miner_tpu.training import losses

@@ -1,6 +1,8 @@
 """Metric functions validated against sklearn and hand-computed values."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.smoke
 from sklearn.metrics import roc_auc_score
 
 from miner_tpu.evaluation.metrics import (

@@ -32,6 +32,7 @@ def inputs(rng):
     return qkv, jnp.asarray(mask)
 
 
+@pytest.mark.smoke
 def test_fused_matches_reference_no_dropout(inputs):
     qkv, mask = inputs
     seed = jnp.zeros((1,), jnp.int32)

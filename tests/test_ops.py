@@ -28,6 +28,7 @@ def poly_inputs(rng):
     return emb, w, codes, mask, bias
 
 
+@pytest.mark.smoke
 def test_poly_attention_kernel_matches_reference(poly_inputs):
     emb, w, codes, mask, bias = poly_inputs
     ref = poly_attention_reference(emb, w, codes, mask, bias)
@@ -86,6 +87,7 @@ def ff_inputs(rng):
     return q, k, wqa, bqa, wka, bka, mask, h
 
 
+@pytest.mark.smoke
 def test_fastformer_kernel_matches_reference(ff_inputs):
     q, k, wqa, bqa, wka, bka, mask, h = ff_inputs
     ref = fastformer_attention_reference(q, k, wqa, bqa, wka, bka, mask, h)

@@ -126,6 +126,7 @@ def test_eval_sampler_deterministic(setup):
     assert len(b1["label"]) == len(log.eval_cand_flat)
 
 
+@pytest.mark.smoke
 def test_unbert_train_e2e(setup, tmp_path):
     from miner_tpu.config import make_parser
     from miner_tpu.training.trainer import Trainer

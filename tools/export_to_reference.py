@@ -38,19 +38,30 @@ def main():
                     help="attribute name the reference NewsEncoder uses for "
                          "the tower (roberta for RoBERTa configs, bert for "
                          "BERT ones)")
+    ap.add_argument("--model_name", default="miner",
+                    choices=["miner", "fastformer", "unbert", "unisrec"],
+                    help="which reference model class to export for")
     ap.add_argument("--out", required=True, help="output .pt path")
     args = ap.parse_args()
 
     import torch
 
-    from miner_tpu.models.hf_import import export_miner_state_dict
+    from miner_tpu.models import hf_import
     from miner_tpu.training.checkpoint import CheckpointManager
 
     ckpt_path = os.path.normpath(args.ckpt)  # tolerate a trailing slash
     ckpt = CheckpointManager(os.path.dirname(ckpt_path) or ".")
     payload = ckpt.restore(os.path.basename(ckpt_path))
     params = payload["params"] if "params" in payload else payload
-    sd = export_miner_state_dict(params, plm_name=args.plm_name)
+    if args.model_name == "miner":
+        sd = hf_import.export_miner_state_dict(params, plm_name=args.plm_name)
+    elif args.model_name == "fastformer":
+        sd = hf_import.export_fastformer_state_dict(
+            params, plm_name=args.plm_name)
+    elif args.model_name == "unbert":
+        sd = hf_import.export_unbert_state_dict(params)
+    else:
+        sd = hf_import.export_unisrec_state_dict(params, plm_name=args.plm_name)
 
     import numpy as np
 

@@ -61,6 +61,9 @@ def main():
                     help="reference source tree for unpickling whole modules")
     ap.add_argument("--num_layers", type=int, default=12,
                     help="PLM tower depth in the checkpoint")
+    ap.add_argument("--model_name", default="miner",
+                    choices=["miner", "fastformer", "unbert", "unisrec"],
+                    help="which reference model class the checkpoint holds")
     ap.add_argument("--out", required=True,
                     help="output checkpoint path (orbax dir); pass it to "
                          "--pretrained_model_path / --saved_model_path")
@@ -68,13 +71,22 @@ def main():
 
     import numpy as np
 
-    from miner_tpu.models.hf_import import convert_miner_state_dict
+    from miner_tpu.models import hf_import
     from miner_tpu.training.checkpoint import CheckpointManager
 
     sd = load_torch_state_dict(args.torch_ckpt, args.reference_repo)
     sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
           for k, v in sd.items()}
-    params = convert_miner_state_dict(sd, num_layers=args.num_layers)
+    if args.model_name == "miner":
+        params = hf_import.convert_miner_state_dict(sd, num_layers=args.num_layers)
+    elif args.model_name == "fastformer":
+        params = hf_import.convert_fastformer_state_dict(
+            sd, num_layers=args.num_layers)
+    elif args.model_name == "unbert":
+        params = hf_import.convert_unbert_state_dict(sd)
+    else:
+        params = hf_import.convert_unisrec_model_state_dict(
+            sd, num_layers=args.num_layers)
     n = len([1 for _ in _iter_leaves(params)])
     print(f"converted {n} tensors")
 
