@@ -414,6 +414,72 @@ def bench_cached_serving(n_steps: int = 20, V: int = 20000, B: int = 256,
     return (n_steps * B * C) / dt / jax.device_count()
 
 
+def bench_serving_load(n_requests: int = 300, clients: int = 16,
+                       slate: int = 20, plm_preset: str = "roberta_base",
+                       n_news: int = 2000):
+    """Serving under load: the REAL HTTP server + MicroBatcher stack
+    (miner_tpu/serving.py) over a synthetic corpus at production geometry
+    (roberta-base tower fills the news-embedding cache once; zero PLM calls
+    per request afterwards). Three legs — sequential (B=1 device programs),
+    concurrent (N client threads coalescing through the micro-batcher), and
+    HTTP (same concurrency over the wire against ThreadingHTTPServer) —
+    plus the coalescing ratio and rolling p50/p99 request latency."""
+    import tempfile
+
+    from tools.bench_serving import (
+        _requests,
+        bench_concurrent,
+        bench_http,
+        bench_sequential,
+    )
+    from tools.synth_mind import make_synth_mind
+    from miner_tpu.config import make_parser
+    from miner_tpu.serving import ScoringService
+    from miner_tpu.training.trainer import Trainer
+
+    root = make_synth_mind(tempfile.mkdtemp(prefix="bench_serve_"),
+                           n_news=n_news, n_users=50, n_train_lines=1,
+                           n_eval_lines=1)
+    args = make_parser().parse_args([
+        "serve",
+        "--model_name", "Miner",
+        "--pretrained_tokenizer", "hash:30522",
+        "--user2id_path", f"{root}/user2id.json",
+        "--category2id_path", f"{root}/category2id.json",
+        "--eval_news_path", f"{root}/news.tsv",
+        "--plm_preset", plm_preset,
+        "--max_title_length", "32", "--max_sapo_length", "128",
+        "--his_length", "50",
+        "--apply_reduce_dim", "--use_sapo", "--use_category_bias",
+        "--word_embed_dim", "256", "--category_embed_dim", "100",
+        "--num_context_codes", "32", "--context_code_dim", "200",
+        "--score_type", "weighted",
+        "--compute_dtype", "bfloat16",
+        "--metrics", "auc",
+        "--host", "127.0.0.1", "--port", "0",
+    ])
+    service = ScoringService(Trainer(args))
+    try:
+        reqs = _requests(service, n_requests, slate)
+        seq_rps = bench_sequential(service, reqs)
+        conc_rps, batches = bench_concurrent(service, reqs, clients)
+        http_rps = bench_http(service, reqs, clients)
+        stats = service.batcher.stats()
+        return {
+            "sequential_rps": round(seq_rps, 1),
+            "concurrent_rps": round(conc_rps, 1),
+            "http_rps": round(http_rps, 1),
+            "clients": clients,
+            "slate": slate,
+            "coalesce_requests_per_device_batch": round(
+                n_requests / max(batches, 1), 2),
+            "latency_p50_ms": stats.get("latency_ms_p50"),
+            "latency_p99_ms": stats.get("latency_ms_p99"),
+        }
+    finally:
+        service.batcher.close()
+
+
 def bench_miner_train(n_steps: int = 10):
     from __graft_entry__ import _build_miner, _synthetic_batch
     from miner_tpu.training import losses
@@ -542,6 +608,13 @@ def main():
 
         print(f"cached-serving bench failed: {e}", file=sys.stderr)
         serving_cps = None
+    try:
+        serving_load = bench_serving_load()
+    except Exception as e:
+        import sys
+
+        print(f"serving-load bench failed: {e}", file=sys.stderr)
+        serving_load = None
     B = 16
     tflops_per_step = miner_train_model_flops(B=B) / 1e12
     tflops_per_sec = train_eps / B * tflops_per_step
@@ -568,6 +641,9 @@ def main():
     if serving_cps is not None:
         # recommend/serve/cached-eval path: zero PLM calls per request
         details["cached_serving_candidates_per_sec"] = round(serving_cps, 0)
+    if serving_load is not None:
+        # the REAL HTTP server + micro-batcher under concurrent clients
+        details["serving_load"] = serving_load
     if peak is not None:
         # model FLOPs only (no remat recompute credit)
         details["mfu"] = round(tflops_per_sec / peak, 4)

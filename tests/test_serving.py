@@ -261,6 +261,55 @@ def test_microbatcher_groups_by_candidate_bucket():
     mb.close()
 
 
+def test_microbatcher_saturation_caps_group_at_max_batch():
+    """Queue saturation: with far more queued requests than
+    ``serve_max_batch``, every drained device group is capped at max_batch,
+    nothing is dropped, and every request still gets its own correct row
+    back (the backlog drains across successive device batches)."""
+    from miner_tpu.serving import MicroBatcher
+
+    MAX_B, TOTAL = 4, 25
+    group_sizes = []
+    release = threading.Event()
+
+    def score_fn(cand_idx, his_idx):
+        group_sizes.append(cand_idx.shape[0])
+        if len(group_sizes) == 1:
+            assert release.wait(10)
+        return cand_idx * 3.0 + his_idx.sum(axis=1, keepdims=True)
+
+    mb = MicroBatcher(score_fn, his_length=4, max_batch=MAX_B, max_wait_ms=50)
+    results = {}
+
+    def submit(i):
+        cand = [100 * i + 1, 100 * i + 2]
+        his = np.full((4,), i, np.int32)
+        results[i] = (cand, his, mb.submit(cand, his))
+
+    t0 = threading.Thread(target=submit, args=(0,))
+    t0.start()
+    while not group_sizes:  # worker blocked inside the first device call
+        pass
+    rest = [threading.Thread(target=submit, args=(i,))
+            for i in range(1, TOTAL)]
+    for t in rest:
+        t.start()
+    while mb._q.qsize() < TOTAL - 1:  # the whole backlog is queued
+        pass
+    release.set()
+    for t in [t0, *rest]:
+        t.join(10)
+
+    assert max(group_sizes) <= MAX_B, group_sizes
+    assert sum(group_sizes) == TOTAL  # nothing dropped, nothing duplicated
+    # 1 blocked single + ceil(24/4) full drains is the floor
+    assert mb.device_batches >= 1 + (TOTAL - 1) // MAX_B
+    assert mb.requests == TOTAL
+    for i, (cand, his, got) in results.items():
+        np.testing.assert_array_equal(got, np.asarray(cand) * 3.0 + his.sum())
+    mb.close()
+
+
 def test_concurrent_requests_match_sequential(served):
     """Concurrent HTTP requests (which may coalesce into batched device
     calls) return the same scores as isolated B=1 scoring."""

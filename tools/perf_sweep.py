@@ -85,6 +85,9 @@ def main():
 
     if args.rbg:
         jax.config.update("jax_default_prng_impl", "rbg")
+    from miner_tpu.config import configure_compilation_cache
+
+    configure_compilation_cache()
 
     cfgs = []
     for c in (args.configs or "16,1,1,1").split(";"):
