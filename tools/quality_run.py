@@ -30,13 +30,27 @@ sys.path.insert(0, ".")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# shared geometry/recipe (both frameworks)
+# shared geometry/recipe (both frameworks); --preset mid swaps these for
+# the 25k-event mid-scale protocol (VERDICT r2 item 6)
 LT, H, NPRATIO = 16, 10, 4
 D_WORD, K, P_DIM, D_CAT = 64, 8, 32, 16
 LR, EPOCHS, BATCH = 5e-4, 4, 32
 WD, CLIP, WARMUP_RATIO = 0.01, 1.0, 0.1
 VOCAB = 2000
 SEED = 13
+PLM_PRESET = "tiny"
+
+
+def _apply_preset(name: str) -> None:
+    """Mutate the shared-geometry globals. ``mid`` mirrors the r2 mid-scale
+    run (SCALE_r02 corpus slice: 12.5k behaviors lines / ~25k events, H=20,
+    B=64, lr 1e-3, 1 epoch, wed 128 / K 32 / P 200 / cat 100) but with the
+    tiny-scale SHARED-INIT protocol instead of independent inits."""
+    if name == "tiny":
+        return
+    assert name == "mid", name
+    globals().update(LT=32, H=20, D_WORD=128, K=32, P_DIM=200, D_CAT=100,
+                     LR=1e-3, EPOCHS=1, BATCH=64, VOCAB=30522, SEED=101)
 
 
 def _argv(data_dir, out_dir, extra=()):
@@ -54,7 +68,7 @@ def _argv(data_dir, out_dir, extra=()):
         "--max_sapo_length", "24",
         "--his_length", str(H),
         "--seed", str(SEED),
-        "--plm_preset", "tiny",
+        "--plm_preset", PLM_PRESET,
         "--apply_reduce_dim",
         "--use_sapo",
         "--use_category_bias",
@@ -78,12 +92,17 @@ def _argv(data_dir, out_dir, extra=()):
     ]
 
 
-def run_ours(data_dir, out_dir, tpu: bool, init_ckpt=None, seed=None):
+def run_ours(data_dir, out_dir, tpu: bool, init_ckpt=None, seed=None,
+             dtype=None):
     from miner_tpu.config import make_parser
     from miner_tpu.training.trainer import Trainer
 
     extra = () if tpu else ("--compute_dtype", "float32",
                             "--no-fused_kernels")
+    if tpu and dtype == "fp32":
+        # fp32-on-TPU row for the bf16-vs-fp32 quality pair: same backend,
+        # same fused kernels off (the Pallas kernels are bf16-path tuned)
+        extra = ("--compute_dtype", "float32", "--no-fused_kernels")
     if init_ckpt:
         extra = extra + ("--pretrained_model_path", init_ckpt)
     if seed is not None:
@@ -285,6 +304,9 @@ def main():
                     help="run ours with the TPU production config "
                          "(bf16 + fused kernels) instead of fp32 CPU parity")
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--skip-ours", action="store_true",
+                    help="torch leg only (e.g. run the CPU torch legs while "
+                         "the TPU is busy; pair the ours rows later)")
     ap.add_argument("--train_seed", type=int, default=None,
                     help="override the trainer seed for a variance-band row")
     ap.add_argument("--shared_init", action=argparse.BooleanOptionalAction,
@@ -293,7 +315,21 @@ def main():
                          "init weights (isolates the training substrate "
                          "from init-seed luck)")
     ap.add_argument("--events", type=int, default=4000)
+    ap.add_argument("--news", type=int, default=1200)
+    ap.add_argument("--eval_lines", type=int, default=800)
+    ap.add_argument("--preset", choices=["tiny", "mid"], default="tiny")
+    ap.add_argument("--plm_preset", default=None,
+                    help="override the tower preset (e.g. small for the "
+                         "4-layer bf16-vs-fp32 pair)")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--dtype", choices=["bf16", "fp32"], default=None,
+                    help="with --tpu: run ours in this dtype")
     args = ap.parse_args()
+    _apply_preset(args.preset)
+    if args.plm_preset:
+        globals().update(PLM_PRESET=args.plm_preset)
+    if args.epochs is not None:
+        globals().update(EPOCHS=args.epochs)
 
     if not args.tpu:
         # force the CPU backend even where a sitecustomize registers a TPU
@@ -312,7 +348,10 @@ def main():
         # his_length (reference: src/utils.py:21-23 + nn.Embedding
         # padding_idx; our pairwise cosine clamps the norm instead). The
         # reference author's filtered corpus evidently had full histories.
-        make_synth_mind(data_dir, n_train_lines=args.events,
+        make_synth_mind(data_dir, n_news=args.news,
+                        n_train_lines=args.events,
+                        n_users=max(300, args.events // 10),
+                        n_eval_lines=args.eval_lines,
                         hist_len=(H, H + 4))
         print(f"synth corpus at {data_dir}")
 
@@ -324,16 +363,23 @@ def main():
         init_ckpt = export_torch_init(data_dir, args.reference_repo,
                                       os.path.join(args.out, "init"))
         print(f"shared torch init -> {init_ckpt}")
-    ours, ours_s = run_ours(data_dir, os.path.join(args.out, "ours"),
-                            tpu=args.tpu, init_ckpt=init_ckpt,
-                            seed=args.train_seed)
-    label = "miner_tpu (TPU bf16+fused)" if args.tpu else "miner_tpu (fp32)"
-    if init_ckpt:
-        label += " shared-init"
-    if args.train_seed is not None:
-        label += f" seed={args.train_seed}"
-    rows.append((label, ours, ours_s))
-    print(label, ours)
+    if not args.skip_ours:
+        ours, ours_s = run_ours(data_dir, os.path.join(args.out, "ours"),
+                                tpu=args.tpu, init_ckpt=init_ckpt,
+                                seed=args.train_seed, dtype=args.dtype)
+        if args.tpu:
+            label = ("miner_tpu (TPU fp32)" if args.dtype == "fp32"
+                     else "miner_tpu (TPU bf16+fused)")
+        else:
+            label = "miner_tpu (fp32)"
+        if args.preset != "tiny":
+            label += f" [{args.preset}/{PLM_PRESET}]"
+        if init_ckpt:
+            label += " shared-init"
+        if args.train_seed is not None:
+            label += f" seed={args.train_seed}"
+        rows.append((label, ours, ours_s))
+        print(label, ours)
 
     if not args.skip_torch:
         ref, ref_s = run_torch_reference(data_dir, args.reference_repo,
@@ -353,16 +399,16 @@ def _append_report(path, rows, args):
     lines = []
     if not os.path.exists(path):
         lines += [
-            "# QUALITY — round 2\n",
+            "# QUALITY\n",
             "Quality parity evidence: the reference torch `Miner` and "
             "miner_tpu's `Miner` trained on the SAME synthetic corpus "
             "(tools/synth_mind.py — planted topical preference; real MIND "
             "is unreachable in this zero-egress environment) with the same "
             "recipe, scored by the same sklearn-validated evaluator on the "
             "same held-out impressions. Chance AUC = 0.5.\n",
-            f"Corpus: {args.events} train events, 800 eval impressions, "
-            f"tiny PLM (64 hidden / 2 layers), {EPOCHS} epochs, lr {LR}, "
-            f"batch {BATCH}, npratio {NPRATIO}, history {H}.\n",
+            f"Corpus: {args.events} train events, {args.eval_lines} eval "
+            f"impressions, PLM preset {PLM_PRESET}, {EPOCHS} epochs, "
+            f"lr {LR}, batch {BATCH}, npratio {NPRATIO}, history {H}.\n",
             "| run | " + " | ".join(metrics) + " | train s |",
             "|---|" + "---|" * (len(metrics) + 1),
         ]
