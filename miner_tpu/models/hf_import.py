@@ -649,6 +649,39 @@ def convert_unisrec_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     return out
 
 
+POSITION_SENSITIVE_MODELS = ("fastformer", "unbert", "unisrec")
+
+
+def check_history_layout_for_transfer(model_name: str, legacy_layout: bool,
+                                      force: bool = False) -> None:
+    """Loud gate for reference-checkpoint transfer of position-sensitive
+    models (the lstm-combine precedent: fail loudly rather than silently
+    change the computed function).
+
+    The reference PREPENDS pad news to every click history
+    (src/reader.py:154, 204, 268, 319, 369, 405); our default layout is
+    clicks-first (PARITY.md deviations). Miner's poly-attention is
+    permutation-invariant under masking, so its checkpoints transfer under
+    either layout — but UnBERT (packer reads the first hist slots),
+    UniSRec (position-0 user vector) and Fastformer (learned positions)
+    compute DIFFERENT functions per layout. A checkpoint crossing the
+    framework boundary for those models is only bit-faithful when this
+    side runs with ``--legacy_history_layout``.
+    """
+    if model_name not in POSITION_SENSITIVE_MODELS or legacy_layout or force:
+        return
+    raise ValueError(
+        f"{model_name} is position-sensitive in the history layout: the "
+        "reference prepends pad news (src/reader.py:154) while this "
+        "framework's default is clicks-first (PARITY.md deviations). A "
+        "transferred checkpoint only reproduces the reference's function "
+        "when run with --legacy_history_layout. Pass "
+        "--legacy_history_layout to acknowledge that recipe, or "
+        "--force_layout_mismatch to transfer anyway (the model will see a "
+        "shifted input distribution)."
+    )
+
+
 def convert_unisrec_model_state_dict(sd: Dict[str, np.ndarray],
                                      num_layers: int) -> Dict:
     """Full reference-format UniSRec torch state dict -> our full param tree.

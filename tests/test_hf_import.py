@@ -486,3 +486,25 @@ def test_export_unisrec_round_trip():
     assert "trm_encoder.layer.0.feed_forward.dense_1.weight" in sd
     assert "position_embedding.weight" in sd
     assert "LayerNorm.weight" in sd
+
+
+def test_layout_gate_for_position_sensitive_transfer():
+    """Checkpoint transfer of position-sensitive models errors loudly
+    unless the legacy (reference pads-first) layout is acknowledged —
+    the lstm-combine precedent (PARITY.md deviations; reference layout:
+    src/reader.py:154)."""
+    from miner_tpu.models.hf_import import (
+        POSITION_SENSITIVE_MODELS,
+        check_history_layout_for_transfer,
+    )
+
+    assert set(POSITION_SENSITIVE_MODELS) == {"fastformer", "unbert",
+                                              "unisrec"}
+    # Miner is permutation-invariant under masking: never gated
+    check_history_layout_for_transfer("miner", legacy_layout=False)
+    for name in POSITION_SENSITIVE_MODELS:
+        with pytest.raises(ValueError, match="legacy_history_layout"):
+            check_history_layout_for_transfer(name, legacy_layout=False)
+        check_history_layout_for_transfer(name, legacy_layout=True)
+        check_history_layout_for_transfer(name, legacy_layout=False,
+                                          force=True)

@@ -41,6 +41,15 @@ def main():
     ap.add_argument("--model_name", default="miner",
                     choices=["miner", "fastformer", "unbert", "unisrec"],
                     help="which reference model class to export for")
+    ap.add_argument("--legacy_history_layout", action="store_true",
+                    help="acknowledge the exported model was trained with "
+                         "--legacy_history_layout (the reference's "
+                         "pads-first rows) — required for the "
+                         "position-sensitive models")
+    ap.add_argument("--force_layout_mismatch", action="store_true",
+                    help="export a position-sensitive model anyway; in the "
+                         "reference it will see pads-first rows it was not "
+                         "trained on")
     ap.add_argument("--out", required=True, help="output .pt path")
     args = ap.parse_args()
 
@@ -48,6 +57,10 @@ def main():
 
     from miner_tpu.models import hf_import
     from miner_tpu.training.checkpoint import CheckpointManager
+
+    hf_import.check_history_layout_for_transfer(
+        args.model_name, args.legacy_history_layout,
+        force=args.force_layout_mismatch)
 
     ckpt_path = os.path.normpath(args.ckpt)  # tolerate a trailing slash
     ckpt = CheckpointManager(os.path.dirname(ckpt_path) or ".")

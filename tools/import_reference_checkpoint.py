@@ -64,6 +64,15 @@ def main():
     ap.add_argument("--model_name", default="miner",
                     choices=["miner", "fastformer", "unbert", "unisrec"],
                     help="which reference model class the checkpoint holds")
+    ap.add_argument("--legacy_history_layout", action="store_true",
+                    help="acknowledge the converted model will run with "
+                         "--legacy_history_layout (the reference's "
+                         "pads-first rows) — required for the "
+                         "position-sensitive models")
+    ap.add_argument("--force_layout_mismatch", action="store_true",
+                    help="transfer a position-sensitive model anyway; it "
+                         "will see a shifted input distribution under the "
+                         "default clicks-first layout")
     ap.add_argument("--out", required=True,
                     help="output checkpoint path (orbax dir); pass it to "
                          "--pretrained_model_path / --saved_model_path")
@@ -73,6 +82,10 @@ def main():
 
     from miner_tpu.models import hf_import
     from miner_tpu.training.checkpoint import CheckpointManager
+
+    hf_import.check_history_layout_for_transfer(
+        args.model_name, args.legacy_history_layout,
+        force=args.force_layout_mismatch)
 
     sd = load_torch_state_dict(args.torch_ckpt, args.reference_repo)
     sd = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
