@@ -862,3 +862,176 @@ def test_unbert_step_level_training_parity(tmp_path, ref_mod):
                                               arrays_of(batches[0]))),
                                torch_forward(batches[0]),
                                rtol=1e-2, atol=1e-3)
+
+
+def test_unisrec_step_level_training_parity(tmp_path, monkeypatch, ref_mod):
+    """Shared-weight 20-step torch-vs-JAX training parity for the reference
+    ``UniSRec`` (src/model/model_unisrec.py:369-600): NewsEncoderMoe
+    (BertModel + 8-expert MoE adaptor, hard-coded 768->300) -> position
+    embeddings + LayerNorm -> 2-layer causal transformer -> position-0
+    user vector -> dot scores, trained with ``compute_vanilla`` under the
+    reference's freeze (ONLY the MoE adaptor updates,
+    model_unisrec.py:448-450; ours via the optax multi_transform freeze).
+    The torch side runs in eval() mode during the step so its hard-coded
+    dropouts and the noisy gating (news_encoder.py:148-154, active only in
+    training mode) are off — gradients still flow; our side runs
+    deterministic=True."""
+    import torch
+    from transformers import BertConfig
+
+    from miner_tpu.models import UniSRec
+    from miner_tpu.models.hf_import import convert_unisrec_model_state_dict
+    from miner_tpu.models.news_encoder import NewsEncoderMoe
+    from miner_tpu.models.plm import PLMConfig
+    from miner_tpu.training import losses
+    from miner_tpu.training.optim import make_optimizer
+    from miner_tpu.training.train_state import TrainState
+
+    _, ref_loss = ref_mod
+    for m in ("src.model.model_unisrec", "src.model.news_encoder"):
+        sys.modules.pop(m, None)
+    sys.path.insert(0, REF)
+    try:
+        from src.model.model_unisrec import UniSRec as RefUniSRec
+        from src.model.news_encoder import NewsEncoderMoe as RefNewsEncoderMoe
+    finally:
+        sys.path.remove(REF)
+
+    vocab = 1000
+    holder = []
+    batches = _fixture_batches(tmp_path, holder)
+    assert len(batches) >= 4
+
+    # --- reference model (PLM hidden forced to 768 by the adaptor)
+    rcfg = BertConfig(
+        vocab_size=vocab, hidden_size=768, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=40, type_vocab_size=2, layer_norm_eps=1e-12,
+        pad_token_id=0, hidden_act="gelu",
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("unisrec_pretrained_weights", exist_ok=True)
+    torch.save({}, "unisrec_pretrained_weights/unisrec_pretained_state_dict.pth")
+    torch.manual_seed(0)
+    renc = RefNewsEncoderMoe(config=rcfg, apply_reduce_dim=False,
+                             use_sapo=True, dropout=0.0,
+                             freeze_transformer=False,
+                             combine_type="pre-concat")
+    tmodel = RefUniSRec(news_encoder=renc, args=None)
+    tmodel.eval()  # kills dropout + gating noise; grads still flow
+    loss_obj = ref_loss.Loss(torch.nn.CrossEntropyLoss())
+    opt, sched = _torch_groups_opt_sched(tmodel)
+
+    def to_t(mb):
+        return {
+            "title": torch.tensor(mb["cand_title"].astype(np.int64)),
+            "title_mask": torch.tensor(mb["cand_title_mask"].astype(np.int64)),
+            "his_title": torch.tensor(mb["his_title"].astype(np.int64)),
+            "his_title_mask": torch.tensor(mb["his_title_mask"].astype(np.int64)),
+            "his_mask": torch.tensor(mb["his_mask"].astype(np.int64)),
+            # pre-concat returns the title branch before sapo is touched
+            "sapo": torch.tensor(mb["cand_title"].astype(np.int64)),
+            "sapo_mask": torch.tensor(mb["cand_title_mask"].astype(np.int64)),
+            "his_sapo": torch.tensor(mb["his_title"].astype(np.int64)),
+            "his_sapo_mask": torch.tensor(mb["his_title_mask"].astype(np.int64)),
+        }
+
+    def torch_forward(mb):
+        with torch.no_grad():
+            return tmodel(**to_t(mb)).numpy()
+
+    def torch_step(mb):
+        logits = tmodel(**to_t(mb))
+        loss = loss_obj.compute_vanilla(logits, torch.tensor(mb["label"]))
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tmodel.parameters(), CLIP)
+        opt.step()
+        sched.step()
+        return float(loss.detach())
+
+    # --- same weights across
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_unisrec_model_state_dict(sd, num_layers=2)
+    plm = PLMConfig(vocab_size=vocab, hidden_size=768, num_layers=2,
+                    num_heads=4, intermediate_size=128,
+                    max_position_embeddings=40, type_vocab_size=2,
+                    layer_norm_eps=1e-12, hidden_dropout=0.0,
+                    attention_dropout=0.0, pad_token_id=0, position_offset=0)
+    enc_j = NewsEncoderMoe(plm_cfg=plm, use_sapo=False,
+                           combine_type="pre-concat", n_experts=8,
+                           adaptor_out_dim=300, adaptor_dropout=0.0,
+                           dropout=0.0)
+    jmodel = UniSRec(news_encoder=enc_j, max_his_len=50)
+
+    def arrays_of(mb):
+        return {k: jnp.asarray(mb[k]) for k in
+                ("cand_title", "cand_title_mask", "his_title",
+                 "his_title_mask", "his_mask")}
+
+    init = jmodel.init(
+        {"params": jax.random.PRNGKey(0), "gating": jax.random.PRNGKey(1)},
+        arrays_of(batches[0]))["params"]
+    init_keys = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_leaves_with_path(init)}
+    conv_keys = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_leaves_with_path(params)}
+    assert init_keys == conv_keys, (
+        f"missing={sorted(init_keys - conv_keys)} "
+        f"extra={sorted(conv_keys - init_keys)}"
+    )
+    params = jax.tree_util.tree_map(
+        lambda leaf: jnp.asarray(leaf, jnp.float32), params)
+
+    fwd = jax.jit(lambda p, mb: jmodel.apply(
+        {"params": p}, mb, deterministic=True))
+    np.testing.assert_allclose(np.asarray(fwd(params, arrays_of(batches[0]))),
+                               torch_forward(batches[0]),
+                               rtol=1e-4, atol=1e-5)
+
+    # --- the reference freeze: only the MoE adaptor trains
+    tx = make_optimizer(params, learning_rate=LR, total_steps=N_STEPS,
+                        warmup_steps=WARMUP, weight_decay=WD,
+                        max_grad_norm=CLIP,
+                        trainable_pred=lambda name: "moe" in name.lower())
+    state = TrainState.create(params, tx, jax.random.PRNGKey(2))
+
+    @jax.jit
+    def train_step(state, arrays, label):
+        def loss_fn(p):
+            logits = jmodel.apply({"params": p}, arrays, deterministic=True)
+            return losses.vanilla_loss(logits, label)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    jax_losses, torch_losses = [], []
+    for i in range(N_STEPS):
+        mb = batches[i % len(batches)]
+        state, l = train_step(state, arrays_of(mb), jnp.asarray(mb["label"]))
+        jax_losses.append(float(l))
+        torch_losses.append(torch_step(mb))
+
+    np.testing.assert_allclose(
+        np.asarray(jax_losses), np.asarray(torch_losses),
+        rtol=2e-4, atol=2e-4,
+        err_msg="unisrec loss trajectories diverged",
+    )
+    np.testing.assert_allclose(np.asarray(fwd(state.params,
+                                              arrays_of(batches[0]))),
+                               torch_forward(batches[0]),
+                               rtol=1e-3, atol=1e-4)
+    # the freeze held: non-MoE params are bitwise untouched
+    init_flat = {jax.tree_util.keystr(p): l for p, l in
+                 jax.tree_util.tree_leaves_with_path(params)}
+    changed_moe = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+        key = jax.tree_util.keystr(path)
+        if "moe" in key.lower():
+            changed_moe += int(not np.array_equal(np.asarray(leaf),
+                                                  np.asarray(init_flat[key])))
+        else:
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(init_flat[key]),
+                                          err_msg=key)
+    assert changed_moe > 0, "no MoE params changed — the freeze ate training"
