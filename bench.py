@@ -12,8 +12,10 @@ encoder), scoring one candidate per row, fwd-only. ``vs_baseline`` divides by
 The JSON line also carries ``details.miner_train_examples_per_sec_per_chip``:
 training throughput of the flagship MINER model at the canonical
 config/train2.txt geometry (title 32 / sapo 128 tokens, history 50, npratio 4,
-K=32, roberta-base towers, bf16, remat). The reference publishes no training
-throughput to compare against; we track it across rounds.
+K=32, roberta-base towers, bf16, no remat — the r3 sweep measured the full
+backward fits HBM and runs ~10% faster without rematerialization). The
+reference publishes no training throughput to compare against; we track it
+across rounds.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
 """
@@ -490,11 +492,13 @@ def bench_miner_train(n_steps: int = 10):
     vocab, n_cat = 30522, 32
 
     rng = np.random.default_rng(0)
-    # remat: the (B*(C+H)) x L x L attention residuals of a 12-layer tower
-    # don't fit 16GB HBM for backward; rematerializing layers trades ~30%
-    # FLOPs for >10x activation-memory reduction.
+    # remat OFF: the round-3 sweep (tools/perf_sweep.py) measured that the
+    # full B=16 backward fits HBM without rematerialization and runs ~10%
+    # faster (23.07 vs 20.95 ex/s on v5e) — the remat recompute was pure
+    # overhead at this geometry. attn_fp32 measured throughput-neutral
+    # (20.90 vs 20.95 / 22.93 vs 22.94); keep the accurate fp32 softmax.
     model = _build_miner(plm_preset="roberta_base", vocab=vocab, n_cat=n_cat,
-                         dtype=jnp.bfloat16, remat=True, use_fused=True,
+                         dtype=jnp.bfloat16, remat=False, use_fused=True,
                          gelu_approx=True)
     batch = _synthetic_batch(rng, B, C, H, Lt, Ls, vocab, n_cat)
     label = jnp.asarray(np.eye(C, dtype=np.float32)[rng.integers(0, C, size=B)])
