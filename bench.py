@@ -196,8 +196,10 @@ def bench_miner_train_real_pipeline(n_steps: int = 30):
         pad_token_id=0,
         category_pad_id=0,
     )
+    # remat OFF to match bench_miner_train: same B=16 geometry, the full
+    # backward fits HBM and runs ~10% faster (tools/perf_sweep.py, round 3)
     model = _build_miner(plm_preset="roberta_base", vocab=vocab, n_cat=n_cat,
-                         dtype=jnp.bfloat16, remat=True, use_fused=True,
+                         dtype=jnp.bfloat16, remat=False, use_fused=True,
                          gelu_approx=True)
     batcher = Batcher(B, drop_last=True, shuffle=True, seed=0)
     block = sampler.sample_epoch(0)
