@@ -8,6 +8,14 @@ Trainer, then prints the per-epoch eval metrics as a markdown table.
 Usage:
   python tools/scale_convergence.py --model miner  [--epochs 4] [--dtype bf16]
   python tools/scale_convergence.py --model unbert [--epochs 3]
+  python tools/scale_convergence.py --model fastformer
+  python tools/scale_convergence.py --model unisrec
+
+fastformer/unisrec run from-scratch-appropriate recipes: no
+--freeze_transformer, and unisrec opts into --unisrec_train_all — a frozen
+randomly-initialized PLM cannot learn the planted text signal (the
+reference's freeze recipes assume a pretrained tower, unavailable in this
+zero-egress environment).
 
 The corpus is generated under --out if absent (same parameters as
 tools/scale_smoke.py: hist_len 30-50, npratio up to 9 negs).
@@ -33,7 +41,9 @@ METRICS = ["auc", "group_auc", "mrr", "ndcg@5", "ndcg@10"]
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--model", choices=["miner", "unbert"], required=True)
+    ap.add_argument("--model",
+                    choices=["miner", "unbert", "fastformer", "unisrec"],
+                    required=True)
     ap.add_argument("--out", default="/tmp/scale_smoke")
     ap.add_argument("--news", type=int, default=60000)
     ap.add_argument("--events", type=int, default=50000)
@@ -47,12 +57,16 @@ def main():
                     help="run on the reference's pads-first history rows "
                          "(for layout A/Bs)")
     ap.add_argument("--tag", default="", help="suffix for the run dir")
+    ap.add_argument("--parse_only", action="store_true",
+                    help="build + parse the trainer argv and exit (wiring "
+                         "check, no corpus/training)")
     args = ap.parse_args()
 
     from tools.synth_mind import make_synth_mind
 
     data = os.path.join(args.out, "data")
-    if not os.path.exists(os.path.join(data, "behaviors.tsv")):
+    if not args.parse_only and not os.path.exists(
+            os.path.join(data, "behaviors.tsv")):
         t0 = time.time()
         make_synth_mind(data, n_news=args.news, n_users=args.events // 10,
                         n_train_lines=args.events,
@@ -64,9 +78,11 @@ def main():
 
     epochs = args.epochs or (3 if args.model == "unbert" else 4)
     train_dir = os.path.join(args.out, f"conv_{args.model}{args.tag}")
+    model_name = {"miner": "Miner", "unbert": "unbert",
+                  "fastformer": "fastformer", "unisrec": "unisrec"}
     argv = [
         "train" if args.model == "miner" else "train_fastformer",
-        "--model_name", "Miner" if args.model == "miner" else "unbert",
+        "--model_name", model_name[args.model],
         "--pretrained_tokenizer", "hash:30522",
         "--user2id_path", os.path.join(data, "user2id.json"),
         "--category2id_path", os.path.join(data, "category2id.json"),
@@ -79,12 +95,6 @@ def main():
         "--his_length", "50",
         "--seed", str(args.seed),
         "--plm_preset", "small",
-        "--apply_reduce_dim", "--use_category_bias",
-        "--word_embed_dim", "256",
-        "--category_embed_dim", "100",
-        "--num_context_codes", "32",
-        "--context_code_dim", "200",
-        "--score_type", "weighted",
         "--npratio", "4",
         "--online", "1",
         "--train_batch_size", str(args.batch),
@@ -95,12 +105,35 @@ def main():
         "--metrics", *METRICS,
         "--train_path", train_dir,
     ]
+    if args.model in ("miner", "unbert"):
+        # keep the exact r2/r3 Miner/UnBERT recipe (these flags were always
+        # passed for both; unbert ignores the Miner-only ones)
+        argv += ["--apply_reduce_dim", "--use_category_bias",
+                 "--word_embed_dim", "256",
+                 "--category_embed_dim", "100",
+                 "--num_context_codes", "32",
+                 "--context_code_dim", "200",
+                 "--score_type", "weighted"]
     if args.model == "unbert":
         argv += ["--unbert_news_layers", "4"]
+    if args.model == "fastformer":
+        # reference recipe (config/train_fastformer.txt) minus
+        # --freeze_transformer: the tower is random-init here, not pretrained
+        argv += ["--apply_reduce_dim", "--word_embed_dim", "256",
+                 "--combine_type", "linear"]
+    if args.model == "unisrec":
+        # reference recipe (config/train_unisrec.txt) with --unisrec_train_all:
+        # MoE-only training atop a random frozen tower cannot learn text
+        argv += ["--combine_type", "pre-concat", "--unisrec_train_all"]
     if args.dtype == "fp32":
         argv += ["--compute_dtype", "float32", "--no-fused_kernels"]
     if args.legacy_history_layout:
         argv += ["--legacy_history_layout"]
+
+    if args.parse_only:
+        parsed = make_parser().parse_args(argv)
+        print(f"parse ok: mode={parsed.mode} model_name={parsed.model_name}")
+        return
 
     t0 = time.time()
     Trainer(make_parser().parse_args(argv)).train()
