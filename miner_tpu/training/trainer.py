@@ -597,15 +597,43 @@ class Trainer:
             trainable_pred=self._trainable_pred(),
         )
         if getattr(a, "pretrained_model_path", None):
-            # warm-start model weights from a prior run's checkpoint
-            # (the reference's continued-training flow,
-            # reference: src/trainer_continued.py:106)
+            # warm-start from a prior run's checkpoint. Two reference flows
+            # share this flag:
+            #   * continued training — the checkpoint is the FULL model
+            #     (reference: src/trainer_continued.py:106);
+            #   * pretrain->finetune — the checkpoint is the contrastively
+            #     pretrained NEWS ENCODER alone, grafted into the model's
+            #     tower (reference: src/trainer.py:101-102; our pretrain
+            #     kind's model IS the NewsEncoder, trainer.py:229-230)
+            from flax.core import unfreeze
+            from flax.traverse_util import flatten_dict, unflatten_dict
+
             warm = CheckpointManager(os.path.dirname(a.pretrained_model_path))
             payload = warm.restore(os.path.basename(a.pretrained_model_path))
-            params = jax.tree_util.tree_map(
-                lambda old, new: jnp.asarray(new, old.dtype), params,
-                payload["params"],
-            )
+            loaded = flatten_dict(unfreeze(payload["params"]))
+            flat = flatten_dict(unfreeze(params))
+            enc_flat = {k: v for k, v in flat.items()
+                        if k and k[0] == "news_encoder"}
+            if (enc_flat and set(loaded) != set(flat)
+                    and {k[1:] for k in enc_flat} == set(loaded)):
+                for k in enc_flat:
+                    flat[k] = jnp.asarray(loaded[k[1:]], flat[k].dtype)
+                log.info("warm-started news_encoder (pretrain->finetune) "
+                         "from %s", a.pretrained_model_path)
+            else:
+                # full-model warm start; a key mismatch here is a loud error
+                if set(loaded) != set(flat):
+                    missing = sorted("/".join(k) for k in
+                                     set(flat) - set(loaded))[:5]
+                    extra = sorted("/".join(k) for k in
+                                   set(loaded) - set(flat))[:5]
+                    raise ValueError(
+                        f"--pretrained_model_path checkpoint does not match "
+                        f"the model (neither full-model nor news_encoder "
+                        f"layout): missing {missing}, unexpected {extra}")
+                flat = {k: jnp.asarray(loaded[k], v.dtype)
+                        for k, v in flat.items()}
+            params = unflatten_dict(flat)
         from miner_tpu.parallel.mesh import MODEL_AXIS
 
         tp = self.mesh.shape.get(MODEL_AXIS, 1) > 1

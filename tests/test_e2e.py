@@ -242,6 +242,76 @@ def test_pretrain_e2e(fixture_dir, tmp_path):
     assert not os.path.isdir(os.path.join(rd, "ckpt", "bestAucModel"))
 
 
+def test_pretrain_then_finetune_grafts_encoder(fixture_dir, tmp_path):
+    """--pretrained_model_path with a pretrain-kind checkpoint grafts the
+    contrastively pretrained NewsEncoder into the Miner tower — the
+    reference's pretrain->finetune flow (src/trainer.py:101-102 loads the
+    flag as the news encoder; src/trainer_continued.py:106 is the separate
+    full-model continued-training flow, also via this flag)."""
+    from flax.traverse_util import flatten_dict
+
+    from miner_tpu.training.checkpoint import CheckpointManager
+
+    args = _train_args(fixture_dir, os.path.join(str(tmp_path), "pre"))
+    args.model_name = "pretrain"
+    args.augmentations = ["enhanced_text"]
+    args.online = 1
+    args.num_train_epochs = 1
+    Trainer(args).train()
+    pre_rd = glob.glob(os.path.join(str(tmp_path), "pre", "train", "*"))[0]
+    pre_ckpt = os.path.join(pre_rd, "ckpt", "finalModel")
+    pre_params = CheckpointManager(os.path.dirname(pre_ckpt)).restore(
+        "finalModel")["params"]
+
+    # lr=0 finetune: the finalModel's tower must equal the pretrain
+    # checkpoint bit-for-bit (AdamW updates and decay all scale by lr)
+    args_ft = _train_args(
+        fixture_dir, os.path.join(str(tmp_path), "ft"),
+        extra=("--pretrained_model_path", pre_ckpt,
+               "--learning_rate", "0.0"))
+    args_ft.num_train_epochs = 1
+    state = Trainer(args_ft).train()
+    assert int(state.step) > 0
+    ft_rd = glob.glob(os.path.join(str(tmp_path), "ft", "train", "*"))[0]
+    ft_params = CheckpointManager(
+        os.path.join(ft_rd, "ckpt")).restore("finalModel")["params"]
+    got = flatten_dict(ft_params["news_encoder"])
+    want = flatten_dict(pre_params)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]), err_msg="/".join(k))
+
+    # continued training (full-model checkpoint through the same flag,
+    # reference: src/trainer_continued.py:106): lr=0 round-trips ALL params
+    ft_ckpt = os.path.join(ft_rd, "ckpt", "finalModel")
+    args_ct = _train_args(
+        fixture_dir, os.path.join(str(tmp_path), "ct"),
+        extra=("--pretrained_model_path", ft_ckpt,
+               "--learning_rate", "0.0"))
+    args_ct.num_train_epochs = 1
+    Trainer(args_ct).train()
+    ct_rd = glob.glob(os.path.join(str(tmp_path), "ct", "train", "*"))[0]
+    ct_params = CheckpointManager(
+        os.path.join(ct_rd, "ckpt")).restore("finalModel")["params"]
+    got_full, want_full = flatten_dict(ct_params), flatten_dict(ft_params)
+    assert set(got_full) == set(want_full)
+    for k in want_full:
+        np.testing.assert_array_equal(np.asarray(got_full[k]),
+                                      np.asarray(want_full[k]),
+                                      err_msg="/".join(k))
+
+    # mismatched checkpoint (neither full-model nor encoder layout) errors
+    # loudly instead of half-loading
+    args_bad = _train_args(
+        fixture_dir, os.path.join(str(tmp_path), "bad"),
+        extra=("--pretrained_model_path", pre_ckpt))
+    args_bad.model_name = "unisrec"
+    args_bad.combine_type = "pre-concat"
+    with pytest.raises((ValueError, KeyError)):
+        Trainer(args_bad).train()
+
+
 def test_evaluation_info_gates_best_checkpoints(fixture_dir, tmp_path):
     """--evaluation_info metrics (the reference's train2.txt setting) keeps
     bestAucModel selection but drops bestLossModel; the eval.csv loss column
