@@ -322,6 +322,10 @@ def main():
                     help="override the tower preset (e.g. small for the "
                          "4-layer bf16-vs-fp32 pair)")
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--init_seed", type=int, default=None,
+                    help="override the shared-init draw (torch.manual_seed "
+                         "before building the torch model) — lets the "
+                         "paired protocol sample more than one init basin")
     ap.add_argument("--dtype", choices=["bf16", "fp32"], default=None,
                     help="with --tpu: run ours in this dtype")
     args = ap.parse_args()
@@ -330,6 +334,8 @@ def main():
         globals().update(PLM_PRESET=args.plm_preset)
     if args.epochs is not None:
         globals().update(EPOCHS=args.epochs)
+    if args.init_seed is not None:
+        globals().update(SEED=args.init_seed)
 
     if not args.tpu:
         # force the CPU backend even where a sitecustomize registers a TPU
@@ -376,6 +382,8 @@ def main():
             label += f" [{args.preset}/{PLM_PRESET}]"
         if init_ckpt:
             label += " shared-init"
+        if args.init_seed is not None:
+            label += f" init={args.init_seed}"
         if args.train_seed is not None:
             label += f" seed={args.train_seed}"
         rows.append((label, ours, ours_s))
@@ -385,6 +393,8 @@ def main():
         ref, ref_s = run_torch_reference(data_dir, args.reference_repo,
                                          stream_seed=args.train_seed)
         tlabel = "reference torch (fp32 CPU)"
+        if args.init_seed is not None:
+            tlabel += f" init={args.init_seed}"
         if args.train_seed is not None:
             tlabel += f" seed={args.train_seed}"
         rows.append((tlabel, ref, ref_s))
