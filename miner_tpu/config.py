@@ -253,6 +253,9 @@ def add_train_arguments(p: argparse.ArgumentParser):
     p.add_argument("--npratio", type=int, default=4)
     p.add_argument("--train_batch_size", type=int, default=8)
     p.add_argument("--eval_batch_size", type=int, default=64)
+    # torch-DataLoader knobs: accepted for reference-config compatibility,
+    # structurally N/A on the device-table data plane (no host dataloader
+    # workers / pinned staging buffers; batches are fixed-shape index arrays)
     p.add_argument("--dataloader_drop_last", action="store_true")
     p.add_argument("--dataloader_num_workers", type=int, default=0)
     p.add_argument("--dataloader_pin_memory", action="store_true")

@@ -113,6 +113,13 @@ class Trainer:
             getattr(args, "mesh_model", 1),
         ))
         self.compute_dtype = _dtype(args.compute_dtype)
+        if _dtype(getattr(args, "param_dtype", "float32")) != jnp.float32:
+            # params are fp32 masters everywhere (optimizer math + checkpoint
+            # format); mixed precision comes from --compute_dtype casting.
+            # Refuse rather than silently ignore the request.
+            raise NotImplementedError(
+                "--param_dtype only supports float32 (fp32 master weights); "
+                "use --compute_dtype bfloat16 for mixed precision")
         self.n_devices = self.mesh.devices.size
         self._legacy_layout = bool(getattr(args, "legacy_history_layout", False))
         # --evaluation_info gates what the eval loop reports and which best-
@@ -536,7 +543,10 @@ class Trainer:
     def train(self):
         a = self.args
         logger = RunLogger(a.train_path, "train", vars(a))
-        logger.enable_tensorboard()
+        # TB scalars land under <run_dir>/<--tensorboard_path> like the
+        # reference's SummaryWriter dir (src/base_trainer.py:77-78)
+        logger.enable_tensorboard(os.path.join(
+            logger.run_dir, getattr(a, "tensorboard_path", None) or "tb"))
         log = logger.logger
         self._log = log
         log.info("devices: %s, mesh: %s", self.n_devices, self.mesh.shape)

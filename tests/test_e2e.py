@@ -70,10 +70,25 @@ def test_miner_train_e2e(fixture_dir, tmp_path):
     assert os.path.exists(os.path.join(rd, "eval.csv"))
     assert os.path.exists(os.path.join(rd, "epoch.csv"))
     assert os.path.isdir(os.path.join(rd, "ckpt", "finalModel"))
+    # TB scalars under <run_dir>/<--tensorboard_path> ('runs' by default,
+    # matching the reference's SummaryWriter dir, src/base_trainer.py:77-78)
+    if os.path.isdir(os.path.join(rd, "runs")) is False:
+        import importlib.util
+
+        assert importlib.util.find_spec("torch.utils.tensorboard") is None
     # eval.csv has metric columns and finite values
     lines = open(os.path.join(rd, "eval.csv")).read().splitlines()
     assert "auc" in lines[0]
     assert len(lines) >= 2
+
+
+def test_param_dtype_non_fp32_refused(fixture_dir, tmp_path):
+    """--param_dtype only supports fp32 master weights; anything else must
+    error loudly instead of being silently ignored."""
+    args = _train_args(fixture_dir, str(tmp_path),
+                       extra=["--param_dtype", "bfloat16"])
+    with pytest.raises(NotImplementedError, match="param_dtype"):
+        Trainer(args)
 
 
 def test_miner_train_learns_signal(fixture_dir, tmp_path):
