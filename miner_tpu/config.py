@@ -58,6 +58,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve_cache_path", type=str, default=None,
                    help="persist/reuse the corpus news-embedding cache "
                         "(repeat recommend calls skip the corpus PLM pass)")
+    p.add_argument("--serve_cache_int8", action="store_true",
+                   help="quantize the corpus cache to int8 (per-row absmax "
+                        "scales): 4x less cache HBM than fp32, scoring "
+                        "reads int8 and applies scales to the einsum output")
     p = sub.add_parser("serve", fromfile_prefix_chars="@", allow_abbrev=False)
     p.convert_arg_line_to_args = convert_arg_line_to_args
     add_eval_arguments(p)
@@ -87,6 +91,10 @@ def make_parser() -> argparse.ArgumentParser:
                    help="persist the corpus news-embedding cache here; "
                         "restarts load it (skipping the corpus PLM pass) "
                         "when the corpus+checkpoint fingerprint matches")
+    p.add_argument("--serve_cache_int8", action="store_true",
+                   help="quantize the corpus cache to int8 (per-row absmax "
+                        "scales): 4x less cache HBM than fp32, scoring "
+                        "reads int8 and applies scales to the einsum output")
     return parser
 
 

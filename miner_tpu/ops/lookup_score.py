@@ -25,10 +25,21 @@ from miner_tpu.ops.common import on_tpu
 
 
 def lookup_score_reference(
-    cache: jax.Array,  # (N, D)
+    cache,  # (N, D) array, or parallel.news_cache.Int8Rows
     cand_idx: jax.Array,  # (B, C)
     interests: jax.Array,  # (B, K, D)
 ) -> jax.Array:
+    from miner_tpu.parallel.news_cache import Int8Rows
+
+    if isinstance(cache, Int8Rows):
+        # score is linear in the row, so the per-row scale applies to the
+        # einsum OUTPUT — HBM reads stay int8 and no dequantized (B, C, D)
+        # gather is materialized
+        dt = jnp.dtype(cache.dequant_dtype)
+        q = jnp.take(cache.values, cand_idx, axis=0)  # (B, C, D) int8
+        s = jnp.take(cache.scales, cand_idx, axis=0)  # (B, C, 1)
+        out = jnp.einsum("bcd,bkd->bck", q.astype(dt), interests.astype(dt))
+        return out * s.astype(dt)
     cand = jnp.take(cache, cand_idx, axis=0)  # (B, C, D)
     return jnp.einsum("bcd,bkd->bck", cand, interests.astype(cand.dtype))
 

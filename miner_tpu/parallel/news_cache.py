@@ -36,6 +36,60 @@ from miner_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
 from miner_tpu.utils import round_up
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Int8Rows:
+    """Per-row symmetric int8 quantization of a (R, D) embedding table.
+
+    ``values[r] = round(emb[r] / scales[r])`` with ``scales[r] =
+    absmax(emb[r]) / 127`` — 4x less serving HBM than fp32 (2x vs bf16),
+    which at production corpus scale (millions of news x 768 dims) is the
+    difference between a corpus fitting one chip or not.  Scoring reads
+    int8 bytes from HBM and applies the per-row scale to the einsum OUTPUT
+    (score is linear in the row), so the bandwidth saving survives the hot
+    path; no dequantized corpus copy is ever materialized.  A pytree node,
+    so it passes straight through ``jax.jit`` argument lists wherever a raw
+    embedding array would.
+    """
+
+    values: jax.Array  # (R, D) int8
+    scales: jax.Array  # (R, 1) f32
+    dequant_dtype: str = "float32"  # static: dtype gathered rows dequant to
+
+    @property
+    def shape(self):
+        return self.values.shape
+
+    def tree_flatten(self):
+        return (self.values, self.scales), self.dequant_dtype
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+def quantize_rows(emb: jax.Array, dequant_dtype=None) -> Int8Rows:
+    """Quantize a (R, D) table to :class:`Int8Rows` (per-row absmax)."""
+    f = emb.astype(jnp.float32)
+    scales = jnp.max(jnp.abs(f), axis=1, keepdims=True) / 127.0
+    scales = jnp.where(scales == 0.0, 1.0, scales)  # all-zero (pad) rows
+    values = jnp.clip(jnp.round(f / scales), -127, 127).astype(jnp.int8)
+    return Int8Rows(values, scales,
+                    str(dequant_dtype if dequant_dtype is not None
+                        else emb.dtype))
+
+
+def gather_rows(emb, idx: jax.Array) -> jax.Array:
+    """Gather rows from a raw (R, D) array or an :class:`Int8Rows` table,
+    dequantizing the latter to its ``dequant_dtype``."""
+    if isinstance(emb, Int8Rows):
+        dt = jnp.dtype(emb.dequant_dtype)
+        q = jnp.take(emb.values, idx, axis=0).astype(dt)
+        s = jnp.take(emb.scales, idx, axis=0).astype(dt)
+        return q * s
+    return jnp.take(emb, idx, axis=0)
+
+
 @dataclasses.dataclass
 class NewsEmbeddingCache:
     embeddings: jax.Array  # (R, D), row-sharded on `table` when mesh given
@@ -60,7 +114,8 @@ class NewsEmbeddingCache:
         from miner_tpu.ops.common import on_tpu
         from miner_tpu.ops.lookup_score import lookup_score_available
 
-        if (self.mesh is not None
+        if (self.quantized
+                or self.mesh is not None
                 or self.embeddings.dtype == jnp.float32
                 or not on_tpu()
                 or not lookup_score_available(self.dim)):
@@ -68,6 +123,18 @@ class NewsEmbeddingCache:
         if self._scoring_view is None:
             self._scoring_view = self.embeddings.astype(jnp.float32)
         return self._scoring_view
+
+    @property
+    def quantized(self) -> bool:
+        return isinstance(self.embeddings, Int8Rows)
+
+    def quantize(self) -> "NewsEmbeddingCache":
+        """int8 view of this cache (no-op if already quantized)."""
+        if self.quantized:
+            return self
+        return dataclasses.replace(
+            self, embeddings=quantize_rows(self.embeddings),
+            _scoring_view=None)
 
     @property
     def num_rows(self) -> int:
@@ -79,7 +146,7 @@ class NewsEmbeddingCache:
 
     def lookup(self, idx: jax.Array) -> jax.Array:
         """Gather embedding rows; under a mesh the gather crosses shards."""
-        return jnp.take(self.embeddings, idx, axis=0)
+        return gather_rows(self.embeddings, idx)
 
     def lookup_category(self, idx: jax.Array) -> jax.Array:
         return jnp.take(self.category, idx, axis=0)
@@ -89,14 +156,16 @@ class NewsEmbeddingCache:
         """(B, C, K) per-interest scores for candidate rows.
 
         ``fused=True`` uses the Pallas lookup+score kernel (single-shard
-        caches only — the kernel DMAs rows from local HBM)."""
-        if fused and self.mesh is None:
+        non-quantized caches only — the kernel DMAs f32 rows from local
+        HBM)."""
+        if fused and self.mesh is None and not self.quantized:
             from miner_tpu.ops.lookup_score import lookup_score_fused
 
             return lookup_score_fused(self.scoring_embeddings, cand_idx,
                                       interests)
-        cand = self.lookup(cand_idx)
-        return jnp.einsum("bcd,bkd->bck", cand, interests.astype(cand.dtype))
+        from miner_tpu.ops.lookup_score import lookup_score_reference
+
+        return lookup_score_reference(self.embeddings, cand_idx, interests)
 
 
 def _place_on_mesh(emb: jax.Array, category: jax.Array,
@@ -108,10 +177,23 @@ def _place_on_mesh(emb: jax.Array, category: jax.Array,
     R = emb.shape[0]
     shards = mesh.shape[TABLE_AXIS]
     R_pad = round_up(R, shards)
+    row_sharding = NamedSharding(mesh, P(TABLE_AXIS, None))
+    if isinstance(emb, Int8Rows):
+        values, scales = emb.values, emb.scales
+        if R_pad != R:
+            values = jnp.pad(values, ((0, R_pad - R), (0, 0)))
+            # padding rows keep scale 1 (never gathered; avoids 0-div noise)
+            scales = jnp.pad(scales, ((0, R_pad - R), (0, 0)),
+                             constant_values=1.0)
+        emb = Int8Rows(jax.device_put(values, row_sharding),
+                       jax.device_put(scales, row_sharding),
+                       emb.dequant_dtype)
+    else:
+        if R_pad != R:
+            emb = jnp.pad(emb, ((0, R_pad - R), (0, 0)))
+        emb = jax.device_put(emb, row_sharding)
     if R_pad != R:
-        emb = jnp.pad(emb, ((0, R_pad - R), (0, 0)))
         category = jnp.pad(category, (0, R_pad - R))
-    emb = jax.device_put(emb, NamedSharding(mesh, P(TABLE_AXIS, None)))
     category = jax.device_put(category, NamedSharding(mesh, P(TABLE_AXIS)))
     return emb, category
 
@@ -128,16 +210,25 @@ def save_cache(cache: NewsEmbeddingCache, path: str, num_rows: int,
     ``fingerprint`` (checkpoint + corpus identity) gates ``load_cache``."""
     import json
 
-    emb = np.asarray(jax.device_get(cache.embeddings))[:num_rows]
     cat = np.asarray(jax.device_get(cache.category))[:num_rows]
-    dtype = str(emb.dtype)
-    if emb.dtype not in (np.float32, np.float16):
-        emb = emb.view(np.uint16)  # bf16 raw bits
+    arrays = {}
+    if cache.quantized:
+        q: Int8Rows = cache.embeddings
+        arrays["embeddings"] = np.asarray(jax.device_get(q.values))[:num_rows]
+        arrays["scales"] = np.asarray(jax.device_get(q.scales))[:num_rows]
+        dtype = f"int8:{q.dequant_dtype}"
+    else:
+        emb = np.asarray(jax.device_get(cache.embeddings))[:num_rows]
+        dtype = str(emb.dtype)
+        if emb.dtype not in (np.float32, np.float16):
+            emb = emb.view(np.uint16)  # bf16 raw bits
+        arrays["embeddings"] = emb
     meta = dict(fingerprint, dtype=dtype, num_rows=int(num_rows),
                 category_pad_id=int(cache.category_pad_id))
     tmp = path + ".tmp"
-    np.savez(tmp, embeddings=emb, category=cat,
-             meta=np.frombuffer(json.dumps(meta).encode(), np.uint8))
+    np.savez(tmp, category=cat,
+             meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+             **arrays)
     # np.savez appends .npz to names without it; normalize then rename
     if not tmp.endswith(".npz"):
         tmp += ".npz"
@@ -165,10 +256,17 @@ def load_cache(path: str, fingerprint: dict,
         if stored != dict(fingerprint):
             return None
         emb, cat = z["embeddings"], z["category"]
-    if meta["dtype"] not in ("float32", "float16"):
+        scales = z["scales"] if "scales" in z.files else None
+    if meta["dtype"].startswith("int8:"):
+        emb = Int8Rows(jnp.asarray(emb), jnp.asarray(scales),
+                       meta["dtype"].split(":", 1)[1])
+    elif meta["dtype"] not in ("float32", "float16"):
         emb = emb.view(ml_dtypes.bfloat16 if meta["dtype"] == "bfloat16"
                        else np.dtype(meta["dtype"]))
-    emb, cat = _place_on_mesh(jnp.asarray(emb), jnp.asarray(cat), mesh)
+        emb = jnp.asarray(emb)
+    else:
+        emb = jnp.asarray(emb)
+    emb, cat = _place_on_mesh(emb, jnp.asarray(cat), mesh)
     return NewsEmbeddingCache(
         embeddings=emb, category=cat,
         category_pad_id=int(meta["category_pad_id"]), mesh=mesh,

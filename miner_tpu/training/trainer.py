@@ -853,6 +853,7 @@ class Trainer:
             lookup_score_fused,
             lookup_score_reference,
         )
+        from miner_tpu.parallel.news_cache import gather_rows
 
         score = lookup_score_fused if fused_ok else lookup_score_reference
 
@@ -864,7 +865,7 @@ class Trainer:
         def scores_fn(params, cache_emb, cache_emb_score, cache_cat,
                       cand_idx, his_idx):
             variables = {"params": params}
-            his_repr = jnp.take(cache_emb, his_idx, axis=0)
+            his_repr = gather_rows(cache_emb, his_idx)
             his_cat = jnp.take(cache_cat, his_idx, axis=0)
             cand_cat = jnp.take(cache_cat, cand_idx, axis=0)
             his_mask = (his_cat != cat_pad).astype(jnp.int32)
@@ -882,14 +883,14 @@ class Trainer:
                 pscores = score(cache_emb_score, cand_idx, interests)
                 cand_repr = None
                 if model.score_type == "weighted":
-                    cand_repr = jnp.take(cache_emb, cand_idx, axis=0)
+                    cand_repr = gather_rows(cache_emb, cand_idx)
                 matching = model.apply(
                     variables, interests, pscores, cand_repr,
                     method=type(model).aggregate_matching,
                 )
                 return interests, matching
             # vanilla kinds (fastformer/unisrec): tail from gathered reprs
-            cand_repr = jnp.take(cache_emb, cand_idx, axis=0)
+            cand_repr = gather_rows(cache_emb, cand_idx)
             out = model.apply(
                 variables, cand_repr, his_repr, cand_cat, his_cat, his_mask,
                 deterministic=True, method=type(model).tail,
@@ -995,7 +996,8 @@ class Trainer:
             key = (id(model), kind, id(table), cache.mesh is None)
             if key not in steps:
                 steps[key] = self._make_cached_eval_step(
-                    model, kind, table, fused_ok=cache.mesh is None
+                    model, kind, table,
+                    fused_ok=cache.mesh is None and not cache.quantized,
                 )
             cached_step = steps[key]
         for batch in batcher.batches(block):
@@ -1263,6 +1265,10 @@ class Trainer:
                 else self.compute_dtype == jnp.bfloat16),
             "attn_fp32": bool(getattr(a, "attn_fp32", True)),
             "fused_kernels": self._use_fused(),
+            # int8 caches store different arrays; a persisted fp32 cache
+            # must not satisfy an --serve_cache_int8 request (or vice versa)
+            "serve_cache_int8": bool(
+                getattr(self.args, "serve_cache_int8", False)),
         }
 
     def _load_or_build_serving_cache(self, model, params, table):
@@ -1288,6 +1294,10 @@ class Trainer:
                 self._log_serving(f"serving cache loaded from {path}")
                 return cache
         cache = self._build_eval_cache(model, params, table)
+        if getattr(self.args, "serve_cache_int8", False):
+            cache = cache.quantize()
+            self._log_serving("serving cache quantized to int8 "
+                              "(per-row absmax scales)")
         if path:
             save_cache(cache, path, int(table.title.shape[0]), fp)
             self._log_serving(f"serving cache persisted to {path}")
@@ -1314,11 +1324,11 @@ class Trainer:
         fns = getattr(self, "_serve_score_fns", None)
         if fns is None:
             fns = self._serve_score_fns = {}
-        key = (id(model), kind, cache.category_pad_id, cache.mesh is None)
+        fused_ok = cache.mesh is None and not cache.quantized
+        key = (id(model), kind, cache.category_pad_id, fused_ok)
         if key not in fns:
             fns[key] = jax.jit(self._make_cached_scores_fn(
-                model, kind, cache.category_pad_id,
-                fused_ok=cache.mesh is None
+                model, kind, cache.category_pad_id, fused_ok=fused_ok
             ))
         scores_fn = fns[key]
         _, logits = scores_fn(
@@ -1388,12 +1398,11 @@ class Trainer:
         V = int(cache.embeddings.shape[0]) if num_news is None else int(num_news)
         C = V - 1  # corpus candidates: rows 1..V-1 (0 is the pad news)
         k = min(int(k), C)
-        key = (id(model), kind, cache.category_pad_id, cache.mesh is None,
-               C, k)
+        fused_ok = cache.mesh is None and not cache.quantized
+        key = (id(model), kind, cache.category_pad_id, fused_ok, C, k)
         if key not in fns:
             scores_fn = self._make_cached_scores_fn(
-                model, kind, cache.category_pad_id,
-                fused_ok=cache.mesh is None,
+                model, kind, cache.category_pad_id, fused_ok=fused_ok,
             )
             from miner_tpu.utils import candidate_bucket
 

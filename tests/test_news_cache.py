@@ -237,3 +237,84 @@ def test_save_sharded_load_sharded(setup, tmp_path):
     idx = jnp.asarray([[0, 3, 7], [1, 2, 4]], dtype=jnp.int32)
     np.testing.assert_allclose(np.asarray(back_sharded.lookup(idx)),
                                np.asarray(plain.lookup(idx)), atol=1e-6)
+
+
+def test_int8_quantize_roundtrip_bound():
+    """Per-row absmax int8: dequantized rows within scale/2 of the source,
+    all-zero rows survive exactly (scale forced to 1)."""
+    from miner_tpu.parallel.news_cache import gather_rows, quantize_rows
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(37, 48)).astype(np.float32) * \
+        rng.uniform(0.1, 10.0, size=(37, 1)).astype(np.float32)
+    emb[5] = 0.0  # pad-style row
+    q = quantize_rows(jnp.asarray(emb))
+    assert q.values.dtype == jnp.int8 and q.scales.shape == (37, 1)
+    idx = jnp.asarray([0, 5, 7, 36, 5])
+    got = np.asarray(gather_rows(q, idx))
+    want = emb[np.asarray(idx)]
+    scale = np.asarray(q.scales)[np.asarray(idx)]
+    assert np.all(np.abs(got - want) <= scale / 2 + 1e-7)
+    np.testing.assert_array_equal(got[1], 0.0)
+
+
+def test_int8_lookup_score_reference_close():
+    """int8 scoring (per-row scale on the einsum output) tracks fp32
+    scoring to quantization precision without materializing dequant rows."""
+    from miner_tpu.ops.lookup_score import lookup_score_reference
+    from miner_tpu.parallel.news_cache import quantize_rows
+
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(50, 32)).astype(np.float32)
+    interests = jnp.asarray(rng.normal(size=(3, 4, 32)).astype(np.float32))
+    cand_idx = jnp.asarray(rng.integers(0, 50, size=(3, 7)).astype(np.int32))
+    full = np.asarray(lookup_score_reference(jnp.asarray(emb), cand_idx,
+                                             interests))
+    q = np.asarray(lookup_score_reference(quantize_rows(jnp.asarray(emb)),
+                                          cand_idx, interests))
+    # elementwise error bound: |err| <= (scale/2) * sum|w| per interest
+    np.testing.assert_allclose(q, full, rtol=0.02, atol=0.05)
+    # ranking within each (row, interest) is essentially preserved
+    assert (np.argmax(q, axis=1) == np.argmax(full, axis=1)).mean() > 0.9
+
+
+def test_int8_cache_save_load_round_trip(setup, tmp_path):
+    from miner_tpu.parallel.news_cache import Int8Rows, load_cache, save_cache
+
+    store, log, table, model, params, block = setup
+    fp = {"news_sha": "abc", "serve_cache_int8": True}
+    cache = build_cache(_encode_fn(model, params), table,
+                        batch_size=8).quantize()
+    assert cache.quantized and cache.quantize() is cache
+    path = str(tmp_path / "int8.npz")
+    save_cache(cache, path, cache.num_rows, fp)
+    got = load_cache(path, fp)
+    assert got is not None and got.quantized
+    q0, q1 = cache.embeddings, got.embeddings
+    assert isinstance(q1, Int8Rows) and q1.dequant_dtype == q0.dequant_dtype
+    np.testing.assert_array_equal(np.asarray(q1.values), np.asarray(q0.values))
+    np.testing.assert_array_equal(np.asarray(q1.scales), np.asarray(q0.scales))
+    # an int8 request must not be satisfied by a stale fp32-keyed fingerprint
+    assert load_cache(path, {"news_sha": "abc",
+                             "serve_cache_int8": False}) is None
+
+
+def test_int8_sharded_cache_lookup(setup):
+    """Row-sharded int8 cache (table axis) gathers the same rows as the
+    unsharded int8 cache, including the shard-padding tail handling."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    import dataclasses as dc
+
+    store, log, table, model, params, block = setup
+    cache = build_cache(_encode_fn(model, params), table,
+                        batch_size=8).quantize()
+    mesh = make_mesh(MeshConfig(data=2, table=4))
+    from miner_tpu.parallel.news_cache import _place_on_mesh
+
+    emb, cat = _place_on_mesh(cache.embeddings, cache.category, mesh)
+    sharded = dc.replace(cache, embeddings=emb, category=cat, mesh=mesh)
+    assert sharded.num_rows % 4 == 0 and sharded.num_rows >= cache.num_rows
+    idx = jnp.asarray([0, 3, 11, cache.num_rows - 1])
+    np.testing.assert_array_equal(np.asarray(sharded.lookup(idx)),
+                                  np.asarray(cache.lookup(idx)))

@@ -622,3 +622,58 @@ def test_unbert_serving_refuses_corpus_requests(unbert_served):
     # warmup skips the (nonexistent) top-k program but warms slates
     n = service.warmup([3], topk=4, max_b=2)
     assert n == 2  # B in {1, 2} at C_bucket 16; no top-k leg
+
+
+def test_int8_cache_serving_matches(served):
+    """--serve_cache_int8 serving (quantized corpus cache, scales applied to
+    the einsum output) reproduces the fp32 service's rankings on both the
+    slate path and the corpus top-k path, with scores within quantization
+    tolerance."""
+    _, service, base, _ = served
+    args_q = make_parser().parse_args(["serve", *base, "--serve_cache_int8"])
+    quant = ScoringService(Trainer(args_q))
+    assert quant.ctx.cache.quantized
+    try:
+        for cands in (["N7", "N8", "N2"], None):
+            a = service.score(["N1", "N3"], cands, 3)
+            b = quant.score(["N1", "N3"], cands, 3)
+            names_a = [n for n, _ in a]
+            names_b = [n for n, _ in b]
+            if cands is not None:
+                assert names_a == names_b
+            else:
+                # corpus top-k: allow adjacent swaps from quantization noise
+                assert len(set(names_a) & set(names_b)) >= 2
+            np.testing.assert_allclose(
+                [s for _, s in a], [s for _, s in b], rtol=0.05, atol=0.05)
+    finally:
+        quant.batcher.close()
+
+
+def test_int8_cache_persists_and_reloads(served, tmp_path):
+    """A persisted int8 cache reloads (skipping the corpus encode) and the
+    fingerprint keeps fp32/int8 cache files from satisfying each other."""
+    _, service, base, _ = served
+    path = str(tmp_path / "corpus_cache.npz")
+    args_q = make_parser().parse_args(
+        ["serve", *base, "--serve_cache_int8", "--serve_cache_path", path])
+    first = ScoringService(Trainer(args_q))
+    first.batcher.close()
+    assert os.path.exists(path)
+    reloaded = ScoringService(Trainer(args_q))
+    try:
+        assert reloaded.ctx.cache.quantized
+        a = service.score(["N1", "N3"], ["N7", "N8", "N2"], 3)
+        b = reloaded.score(["N1", "N3"], ["N7", "N8", "N2"], 3)
+        assert [n for n, _ in a] == [n for n, _ in b]
+    finally:
+        reloaded.batcher.close()
+    # the same path must NOT satisfy a non-int8 service (fingerprint gate):
+    # it rebuilds an fp32 cache rather than loading the int8 file
+    args_f = make_parser().parse_args(
+        ["serve", *base, "--serve_cache_path", path])
+    plain = ScoringService(Trainer(args_f))
+    try:
+        assert not plain.ctx.cache.quantized
+    finally:
+        plain.batcher.close()
