@@ -12,10 +12,12 @@ encoder), scoring one candidate per row, fwd-only. ``vs_baseline`` divides by
 The JSON line also carries ``details.miner_train_examples_per_sec_per_chip``:
 training throughput of the flagship MINER model at the canonical
 config/train2.txt geometry (title 32 / sapo 128 tokens, history 50, npratio 4,
-K=32, roberta-base towers, bf16, no remat — the r3 sweep measured the full
-backward fits HBM and runs ~10% faster without rematerialization). The
-reference publishes no training throughput to compare against; we track it
-across rounds.
+K=32, roberta-base towers, bf16, no remat, micro-batch 8 — the r3 sweep
+measured the full backward fits HBM and runs ~10% faster without
+rematerialization, and that per-chip throughput is monotone decreasing in
+micro-batch (activation-memory pressure; see bench_miner_train). A B=16 row
+is kept in details for r1/r2 continuity. The reference publishes no training
+throughput to compare against; we track it across rounds.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
 """
@@ -484,21 +486,28 @@ def bench_serving_load(n_requests: int = 300, clients: int = 16,
         service.batcher.close()
 
 
-def bench_miner_train(n_steps: int = 10):
+def bench_miner_train(n_steps: int = 10, B: int = 8):
     from __graft_entry__ import _build_miner, _synthetic_batch
     from miner_tpu.training import losses
     from miner_tpu.training.optim import make_optimizer
     from miner_tpu.training.train_state import TrainState
 
-    B, C, H, Lt, Ls = 16, 5, 50, 32, 128
+    C, H, Lt, Ls = 5, 50, 32, 128
     vocab, n_cat = 30522, 32
 
     rng = np.random.default_rng(0)
-    # remat OFF: the round-3 sweep (tools/perf_sweep.py) measured that the
-    # full B=16 backward fits HBM without rematerialization and runs ~10%
-    # faster (23.07 vs 20.95 ex/s on v5e) — the remat recompute was pure
+    # remat OFF: the round-3 sweep (tools/perf_sweep.py) measured the full
+    # backward fits HBM without rematerialization and runs ~10% faster
+    # (23.07 vs 20.95 ex/s at B=16 on v5e) — the remat recompute was pure
     # overhead at this geometry. attn_fp32 measured throughput-neutral
     # (20.90 vs 20.95 / 22.93 vs 22.94); keep the accurate fp32 softmax.
+    # MICRO-BATCH: per-chip throughput is monotone DEcreasing in B
+    # (25.88 / 24.91 / 23.37 / 23.10 ex/s at B=4/8/12/16 — superlinear
+    # step cost from activation-memory pressure in the 125M-param no-remat
+    # backward; B>=32 is unreachable on this tunnel, its compile helper
+    # crashes). B=8 is the published config: any global batch is reachable
+    # from it via gradient accumulation x data parallelism, with 2x more
+    # host-feed headroom than the marginally faster B=4.
     model = _build_miner(plm_preset="roberta_base", vocab=vocab, n_cat=n_cat,
                          dtype=jnp.bfloat16, remat=False, use_fused=True,
                          gelu_approx=True)
@@ -592,7 +601,14 @@ def main():
     configure_compilation_cache()
 
     eval_cps = bench_unbert_eval()
-    train_eps = bench_miner_train()
+    train_eps = bench_miner_train()  # B=8, the r3 sweep's published config
+    try:
+        train_eps_b16 = bench_miner_train(B=16)  # r1/r2 continuity row
+    except Exception as e:
+        import sys
+
+        print(f"b16 train bench failed: {e}", file=sys.stderr)
+        train_eps_b16 = None
     try:
         pipeline_eps = bench_miner_train_real_pipeline()
     except Exception as e:  # the headline must survive a pipeline-leg failure
@@ -621,17 +637,21 @@ def main():
 
         print(f"serving-load bench failed: {e}", file=sys.stderr)
         serving_load = None
-    B = 16
+    B = 8
     tflops_per_step = miner_train_model_flops(B=B) / 1e12
     tflops_per_sec = train_eps / B * tflops_per_step
     peak = _peak_tflops()
     details = {
         "miner_train_examples_per_sec_per_chip": round(train_eps, 2),
+        "miner_train_micro_batch": B,
         "miner_train_model_tflops_per_step": round(tflops_per_step, 2),
         "miner_train_tflops_per_sec_per_chip": round(tflops_per_sec, 2),
         "baseline_source": "UnBERT eval ~0.92 batch/s x 32 on the "
                            "reference GPU (helper_val.ipynb cell 287)",
     }
+    if train_eps_b16 is not None:
+        details["miner_train_b16_examples_per_sec_per_chip"] = round(
+            train_eps_b16, 2)
     if pipeline_eps is not None:
         # same step fed through sampler + Batcher + H2D each step: the gap
         # vs the hot-loop number is the host data plane's cost
