@@ -169,11 +169,13 @@ class _SynthStore:
         self.num_variants = 1
 
 
-def bench_miner_train_real_pipeline(n_steps: int = 30):
+def bench_miner_train_real_pipeline(n_steps: int = 30, B: int = 8):
     """Miner train ex/s with the REAL data plane in the loop: per-epoch
     native C++ sampling + Batcher + host->device transfer + device-table
     token gather inside the jitted step — shows whether the host stays off
-    the critical path (the hot-loop bench feeds one resident batch)."""
+    the critical path (the hot-loop bench feeds one resident batch).
+    Runs at the published bench micro-batch (B=8): smaller batches mean
+    MORE host work per example, so this is the harder host-feed test."""
 
     from __graft_entry__ import _build_miner
     from miner_tpu.data.batcher import Batcher
@@ -183,7 +185,7 @@ def bench_miner_train_real_pipeline(n_steps: int = 30):
     from miner_tpu.training.optim import make_optimizer
     from miner_tpu.training.train_state import TrainState
 
-    B, C, H, Lt, Ls = 16, 5, 50, 32, 128
+    C, H, Lt, Ls = 5, 50, 32, 128
     vocab, n_cat, n_news = 30522, 32, 20000
     rng = np.random.default_rng(0)
 
