@@ -135,6 +135,15 @@ def _add_common(p: argparse.ArgumentParser):
                    help="devices on the tensor-parallel axis (Megatron-style "
                         "PLM weight sharding; see parallel/tp.py)")
     p.add_argument("--param_dtype", type=str, default="float32")
+    # On TPU, f32-dtype matmuls run SINGLE-PASS BF16 by default (XLA's
+    # fastest mode) — true-fp32 accumulation needs the 3/6-pass modes.
+    # '--compute_dtype float32' therefore does NOT mean fp32 matmuls unless
+    # this is raised; quality-parity runs against fp32 baselines should
+    # pass float32 here.
+    p.add_argument("--matmul_precision", type=str, default=None,
+                   choices=["default", "bfloat16", "bfloat16_3x", "float32"],
+                   help="jax.default_matmul_precision for the whole run "
+                        "(None: backend default — bf16 passes on TPU)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", action="store_true",

@@ -130,6 +130,11 @@ class Trainer:
             getattr(args, "evaluation_info", None) or ("metrics", "loss")
         )
         _configure_prng(getattr(args, "rng_impl", None))
+        mp = getattr(args, "matmul_precision", None)
+        if mp and mp != "default":
+            # true-fp32 matmuls on TPU need the multi-pass modes; the
+            # backend default runs f32 matmuls as single-pass bf16
+            jax.config.update("jax_default_matmul_precision", mp)
 
     # ------------------------------------------------------------------ data
     def _load_store(self, news_path: str, augmentations=None) -> NewsStore:

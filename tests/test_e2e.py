@@ -612,3 +612,17 @@ def test_recommend_unisrec(fixture_dir, tmp_path):
     argv[argv.index("N1")] = "N7"
     other = Trainer(make_parser().parse_args(argv)).recommend()
     assert any(abs(a[1] - b[1]) > 1e-9 for a, b in zip(results, other))
+
+
+def test_matmul_precision_flag(fixture_dir, tmp_path):
+    """--matmul_precision configures jax's default matmul precision — on
+    TPU, f32 matmuls otherwise run single-pass bf16, which is NOT a
+    torch-fp32-comparable numeric mode (quality_run's fp32 legs rely on
+    this flag)."""
+    import jax
+
+    args = _train_args(fixture_dir, str(tmp_path),
+                       extra=["--matmul_precision", "float32"])
+    Trainer(args)
+    assert str(jax.config.jax_default_matmul_precision) == "float32"
+    jax.config.update("jax_default_matmul_precision", None)

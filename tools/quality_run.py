@@ -101,8 +101,11 @@ def run_ours(data_dir, out_dir, tpu: bool, init_ckpt=None, seed=None,
                             "--no-fused_kernels")
     if tpu and dtype == "fp32":
         # fp32-on-TPU row for the bf16-vs-fp32 quality pair: same backend,
-        # same fused kernels off (the Pallas kernels are bf16-path tuned)
-        extra = ("--compute_dtype", "float32", "--no-fused_kernels")
+        # same fused kernels off (the Pallas kernels are bf16-path tuned).
+        # matmul_precision float32: WITHOUT it XLA runs f32 matmuls as
+        # single-pass bf16 on TPU — not comparable to a torch fp32 CPU leg
+        extra = ("--compute_dtype", "float32", "--no-fused_kernels",
+                 "--matmul_precision", "float32")
     if init_ckpt:
         extra = extra + ("--pretrained_model_path", init_ckpt)
     if seed is not None:
@@ -374,7 +377,7 @@ def main():
                                 tpu=args.tpu, init_ckpt=init_ckpt,
                                 seed=args.train_seed, dtype=args.dtype)
         if args.tpu:
-            label = ("miner_tpu (TPU fp32)" if args.dtype == "fp32"
+            label = ("miner_tpu (TPU fp32/f32mm)" if args.dtype == "fp32"
                      else "miner_tpu (TPU bf16+fused)")
         else:
             label = "miner_tpu (fp32)"
