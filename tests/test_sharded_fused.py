@@ -46,11 +46,13 @@ def _force_interpret(monkeypatch):
         lambda x, hh, sc, s, dy, r, e, interp, mr=512: orig_ln_b(x, hh, sc, s, dy, r, e, True, mr))
 
 
-def test_sharded_fused_plm_matches_unfused(rng, mesh8, monkeypatch):
+def _compare_plm(rng, mesh8, monkeypatch, B, L, remat=False):
+    """Sharded fused PLM fwd+grads vs the unfused global computation."""
     cfg = PLMConfig.tiny()
-    B, L = 16, 32  # pack=4 path, batch shards 8 ways
     ids = jnp.asarray(rng.integers(1, 500, size=(B, L)).astype(np.int32))
-    mask = jnp.ones((B, L), jnp.int32)
+    mask_np = np.ones((B, L), np.int32)
+    mask_np[1, L // 2:] = 0  # one short row: exercises the mask path
+    mask = jnp.asarray(mask_np)
 
     plm_ref = TransformerPLM(cfg)
     params = plm_ref.init(jax.random.PRNGKey(0), ids, mask)
@@ -63,7 +65,8 @@ def test_sharded_fused_plm_matches_unfused(rng, mesh8, monkeypatch):
 
     _force_interpret(monkeypatch)
     plm_fused = TransformerPLM(
-        dc.replace(cfg, fused_attention=True, fused_ln=True, mesh=mesh8))
+        dc.replace(cfg, fused_attention=True, fused_ln=True, mesh=mesh8,
+                   remat=remat))
     sharded_ids = jax.device_put(ids, NamedSharding(mesh8, P("data")))
     sharded_mask = jax.device_put(mask, NamedSharding(mesh8, P("data")))
 
@@ -79,4 +82,94 @@ def test_sharded_fused_plm_matches_unfused(rng, mesh8, monkeypatch):
             jax.tree_util.tree_leaves_with_path(g_ref)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-3,
+            err_msg=jax.tree_util.keystr(pa))
+
+
+def test_sharded_fused_plm_matches_unfused(rng, mesh8, monkeypatch):
+    _compare_plm(rng, mesh8, monkeypatch, B=16, L=32)  # pack=4 path
+
+
+def test_sharded_fused_plm_matches_unfused_remat(rng, mesh8, monkeypatch):
+    """remat is a math identity: rematerialized sharded-fused grads must
+    still match the global unfused computation."""
+    _compare_plm(rng, mesh8, monkeypatch, B=16, L=32, remat=True)
+
+
+def test_sharded_fused_plm_long_sequence(rng, mesh8, monkeypatch):
+    """pack=1 geometry (L=128): per-sequence kernel dispatch, not packed."""
+    _compare_plm(rng, mesh8, monkeypatch, B=8, L=128)
+
+
+def test_sharded_fused_full_miner_matches_unfused(rng, mesh8, monkeypatch):
+    """End-to-end: the full Miner model (poly-attention + category bias +
+    target-aware scoring) with a mesh-fused PLM tower — gradients through the
+    shard_map custom_vjp composed with the rest of the graph."""
+    from miner_tpu.models import Miner, NewsEncoder
+    from miner_tpu.training import losses
+
+    B, C, H, Lt, Ls = 8, 3, 4, 16, 32
+    vocab, n_cat = 500, 8
+
+    ids = lambda shape, hi: jnp.asarray(
+        rng.integers(4, hi, size=shape).astype(np.int32))
+    batch = {
+        "cand_title": ids((B, C, Lt), vocab),
+        "cand_title_mask": jnp.ones((B, C, Lt), jnp.int32),
+        "cand_sapo": ids((B, C, Ls), vocab),
+        "cand_sapo_mask": jnp.ones((B, C, Ls), jnp.int32),
+        "cand_category": ids((B, C), n_cat),
+        "his_title": ids((B, H, Lt), vocab),
+        "his_title_mask": jnp.ones((B, H, Lt), jnp.int32),
+        "his_sapo": ids((B, H, Ls), vocab),
+        "his_sapo_mask": jnp.ones((B, H, Ls), jnp.int32),
+        "his_category": ids((B, H), n_cat),
+        "his_mask": jnp.ones((B, H), jnp.int32),
+    }
+
+    def build(mesh):
+        cfg = PLMConfig.tiny(vocab)
+        if mesh is not None:
+            cfg = dc.replace(cfg, fused_attention=True, fused_ln=True,
+                             mesh=mesh)
+        enc = NewsEncoder(plm_cfg=cfg, apply_reduce_dim=True,
+                          word_embed_dim=32, use_sapo=True,
+                          combine_type="linear")
+        # use_fused stays off at the Miner level: the poly-attention kernel
+        # has its own interpret-mode tests (test_ops.py); here the subject is
+        # the mesh-fused PLM tower composed into the full model graph.
+        return Miner(news_encoder=enc, use_category_bias=True,
+                     num_context_codes=4, context_code_dim=16,
+                     score_type="weighted", num_categories=n_cat,
+                     category_embed_dim=8, category_pad_id=0)
+
+    label = jnp.asarray(np.eye(C, dtype=np.float32)[
+        rng.integers(0, C, size=B)])
+    model_ref = build(None)
+    params = model_ref.init(jax.random.PRNGKey(0), batch)
+
+    def loss_ref(p):
+        interests, logits = model_ref.apply(p, batch, deterministic=True)
+        return losses.miner_loss(interests, logits, label)
+
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(params)
+
+    _force_interpret(monkeypatch)
+    model_f = build(mesh8)
+    sh = NamedSharding(mesh8, P("data"))
+    sbatch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    slabel = jax.device_put(label, sh)
+
+    def loss_fused(p):
+        interests, logits = model_f.apply(p, sbatch, deterministic=True)
+        return losses.miner_loss(interests, logits, slabel)
+
+    l_f, g_f = jax.jit(jax.value_and_grad(loss_fused))(params)
+
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=5e-4,
+                               atol=5e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_f),
+            jax.tree_util.tree_leaves_with_path(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(pa))
