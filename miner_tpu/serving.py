@@ -417,6 +417,16 @@ class ScoringService:
 def make_http_server(service: ScoringService, host: str,
                      port: int) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: without it every request pays a TCP
+        # handshake + a fresh handler thread, which measured ~4x below the
+        # micro-batcher's coalesced capacity (BENCH_r03 http_rps 132 vs
+        # concurrent_rps 549); _reply always sets Content-Length so
+        # persistent connections are safe
+        protocol_version = "HTTP/1.1"
+        # small request/response pairs interact badly with Nagle + delayed
+        # ACK (up to ~40ms added per round trip); scoring replies are tiny
+        disable_nagle_algorithm = True
+
         def _reply(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
             self.send_response(code)

@@ -101,34 +101,43 @@ def bench_concurrent(service, reqs, clients):
 
 
 def bench_http(service, reqs, clients, host="127.0.0.1"):
-    import urllib.request
+    import http.client
 
     from miner_tpu.serving import make_http_server
 
     server = make_http_server(service, host, 0)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
-    url = f"http://{host}:{server.server_address[1]}/score"
+    port = server.server_address[1]
 
-    def post(his, cand):
-        req = urllib.request.Request(
-            url, data=json.dumps({"history": his, "candidates": cand}).encode(),
+    def post(conn, his, cand):
+        conn.request(
+            "POST", "/score",
+            body=json.dumps({"history": his, "candidates": cand}).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req) as r:
-            assert r.status == 200
-            r.read()
+        r = conn.getresponse()
+        assert r.status == 200
+        r.read()
 
-    post(*reqs[0])
+    warm = http.client.HTTPConnection(host, port)
+    post(warm, *reqs[0])
+    warm.close()
     it = iter(reqs)
     lock = threading.Lock()
 
     def worker():
-        while True:
-            with lock:
-                nxt = next(it, None)
-            if nxt is None:
-                return
-            post(*nxt)
+        # one persistent keep-alive connection per client (the server
+        # speaks HTTP/1.1) — a realistic load generator does the same
+        conn = http.client.HTTPConnection(host, port)
+        try:
+            while True:
+                with lock:
+                    nxt = next(it, None)
+                if nxt is None:
+                    return
+                post(conn, *nxt)
+        finally:
+            conn.close()
 
     threads = [threading.Thread(target=worker) for _ in range(clients)]
     t0 = time.perf_counter()
