@@ -626,3 +626,47 @@ def test_matmul_precision_flag(fixture_dir, tmp_path):
     Trainer(args)
     assert str(jax.config.jax_default_matmul_precision) == "float32"
     jax.config.update("jax_default_matmul_precision", None)
+
+
+def test_warmstart_hf_roundtrip_e2e(fixture_dir, tmp_path):
+    """The reference's default warm-start regime, end-to-end in-env:
+    contrastive CLI pretrain -> export the tower to a transformers-format
+    checkpoint dir -> Miner train consumes it via --pretrained_embedding
+    (reference: src/trainer.py:92-108). At lr=0 the trained finalModel's PLM
+    must equal the exported pretrain tower bit-for-bit, proving the HF
+    round trip (orbax -> torch state dict -> flax graft) is lossless."""
+    from flax.traverse_util import flatten_dict
+
+    from miner_tpu.training.checkpoint import CheckpointManager
+    from tools.warmstart_ab import export_hf_checkpoint
+
+    args = _train_args(fixture_dir, os.path.join(str(tmp_path), "pre"))
+    args.model_name = "pretrain"
+    args.augmentations = ["enhanced_text"]
+    args.online = 1
+    args.num_train_epochs = 1
+    Trainer(args).train()
+    pre_rd = glob.glob(os.path.join(str(tmp_path), "pre", "train", "*"))[0]
+    hf_dir = export_hf_checkpoint(
+        os.path.join(pre_rd, "ckpt", "finalModel"),
+        os.path.join(str(tmp_path), "hf_ckpt"))
+    assert os.path.exists(os.path.join(hf_dir, "pytorch_model.bin"))
+    pre_params = CheckpointManager(
+        os.path.join(pre_rd, "ckpt")).restore("finalModel")["params"]
+
+    args_ft = _train_args(
+        fixture_dir, os.path.join(str(tmp_path), "ft"),
+        extra=("--pretrained_embedding", hf_dir, "--learning_rate", "0.0"))
+    args_ft.num_train_epochs = 1
+    state = Trainer(args_ft).train()
+    assert int(state.step) > 0
+    ft_rd = glob.glob(os.path.join(str(tmp_path), "ft", "train", "*"))[0]
+    ft_params = CheckpointManager(
+        os.path.join(ft_rd, "ckpt")).restore("finalModel")["params"]
+
+    want = flatten_dict(pre_params["plm"])
+    got = flatten_dict(ft_params["news_encoder"]["plm"])
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=str(k))
