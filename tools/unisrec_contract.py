@@ -38,6 +38,7 @@ honor_env_platform()
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 METRICS = ["auc", "group_auc", "mrr", "ndcg@5", "ndcg@10"]
+PLM_PRESET = "small"  # --plm_preset overrides (tiny = CPU wiring tests)
 
 
 def _argv(data, train_dir, epochs, lr, seed, batch, extra=()):
@@ -53,7 +54,7 @@ def _argv(data, train_dir, epochs, lr, seed, batch, extra=()):
         "--eval_news_path", os.path.join(data, "news.tsv"),
         "--max_title_length", "32", "--max_sapo_length", "2",
         "--his_length", "50", "--seed", str(seed),
-        "--plm_preset", "small", "--npratio", "4", "--online", "1",
+        "--plm_preset", PLM_PRESET, "--npratio", "4", "--online", "1",
         "--combine_type", "pre-concat",
         "--train_batch_size", str(batch), "--eval_batch_size", "512",
         "--num_train_epochs", str(epochs), "--learning_rate", str(lr),
@@ -124,9 +125,13 @@ def main():
     ap.add_argument("--stage_a_ckpt", default=None,
                     help="skip stage A; export/finetune from this finalModel")
     ap.add_argument("--tag", default="")
+    ap.add_argument("--plm_preset", default=None,
+                    help="tower preset override (tiny = CPU wiring tests)")
     ap.add_argument("--report", default=None,
                     help="append the markdown summary to this file")
     args = ap.parse_args()
+    if args.plm_preset:
+        globals().update(PLM_PRESET=args.plm_preset)
 
     from tools.synth_mind import make_synth_mind
 
