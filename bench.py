@@ -471,7 +471,7 @@ def bench_serving_load(n_requests: int = 300, clients: int = 16,
         reqs = _requests(service, n_requests, slate)
         seq_rps = bench_sequential(service, reqs)
         conc_rps, batches = bench_concurrent(service, reqs, clients)
-        http_rps = bench_http(service, reqs, clients)
+        http_rps, http_p50, http_p99 = bench_http(service, reqs, clients)
         stats = service.batcher.stats()
         return {
             "sequential_rps": round(seq_rps, 1),
@@ -483,6 +483,10 @@ def bench_serving_load(n_requests: int = 300, clients: int = 16,
                 n_requests / max(batches, 1), 2),
             "latency_p50_ms": stats.get("latency_ms_p50"),
             "latency_p99_ms": stats.get("latency_ms_p99"),
+            # end-to-end over the wire (keep-alive client), not just the
+            # micro-batcher's device-side window
+            "http_latency_p50_ms": round(http_p50, 2),
+            "http_latency_p99_ms": round(http_p99, 2),
         }
     finally:
         service.batcher.close()

@@ -110,7 +110,10 @@ def bench_http(service, reqs, clients, host="127.0.0.1"):
     thread.start()
     port = server.server_address[1]
 
+    latencies = []
+
     def post(conn, his, cand):
+        t0 = time.perf_counter()
         conn.request(
             "POST", "/score",
             body=json.dumps({"history": his, "candidates": cand}).encode(),
@@ -118,6 +121,7 @@ def bench_http(service, reqs, clients, host="127.0.0.1"):
         r = conn.getresponse()
         assert r.status == 200
         r.read()
+        return time.perf_counter() - t0
 
     warm = http.client.HTTPConnection(host, port)
     post(warm, *reqs[0])
@@ -135,7 +139,9 @@ def bench_http(service, reqs, clients, host="127.0.0.1"):
                     nxt = next(it, None)
                 if nxt is None:
                     return
-                post(conn, *nxt)
+                dt = post(conn, *nxt)
+                with lock:
+                    latencies.append(dt)
         finally:
             conn.close()
 
@@ -147,7 +153,9 @@ def bench_http(service, reqs, clients, host="127.0.0.1"):
         t.join()
     dt = time.perf_counter() - t0
     server.shutdown()
-    return len(reqs) / dt
+    lat = sorted(latencies)
+    pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))] * 1e3
+    return len(reqs) / dt, pick(0.50), pick(0.99)
 
 
 def main(argv=None):
@@ -182,8 +190,10 @@ def main(argv=None):
         "device_batches": batches,
     }
     if http:
-        out["http_requests_per_sec"] = round(
-            bench_http(service, reqs, bench_args["--clients"]), 1)
+        rps, p50, p99 = bench_http(service, reqs, bench_args["--clients"])
+        out["http_requests_per_sec"] = round(rps, 1)
+        out["http_latency_p50_ms"] = round(p50, 2)
+        out["http_latency_p99_ms"] = round(p99, 2)
     print(json.dumps(out))
     return 0
 
