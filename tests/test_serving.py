@@ -677,3 +677,40 @@ def test_int8_cache_persists_and_reloads(served, tmp_path):
         assert not plain.ctx.cache.quantized
     finally:
         plain.batcher.close()
+
+
+def test_http_keepalive_persistent_connection(served):
+    """The server speaks HTTP/1.1 with Content-Length on every reply, so one
+    client connection carries many requests (error replies included) without
+    being closed — the transport behavior the serving throughput depends on."""
+    import http.client
+
+    url, _, _, _ = served
+    host, port = url.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port))
+    try:
+        for i in range(3):
+            conn.request(
+                "POST", "/score",
+                body=json.dumps({"history": ["N1"],
+                                 "candidates": ["N7", "N2"]}).encode(),
+                headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            assert r.version == 11  # HTTP/1.1
+            assert r.status == 200
+            body = json.loads(r.read())
+            assert len(body["results"]) == 2
+        # an error reply must not wedge or close the connection either
+        conn.request("POST", "/score",
+                     body=json.dumps({"history": ["NOPE"],
+                                      "candidates": ["N7"]}).encode(),
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert json.loads(r.read())["status"] == "ok"
+    finally:
+        conn.close()
