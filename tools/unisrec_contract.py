@@ -127,6 +127,12 @@ def main():
     ap.add_argument("--tag", default="")
     ap.add_argument("--plm_preset", default=None,
                     help="tower preset override (tiny = CPU wiring tests)")
+    ap.add_argument("--stage_a_pretrained_embedding", default=None,
+                    help="warm-start stage A's PLM tower from a "
+                         "transformers-format checkpoint dir (the "
+                         "reference-faithful manufacture: its RecBole "
+                         "pretrain pipeline also starts from a pretrained "
+                         "BERT, props/UniSRec.yaml)")
     ap.add_argument("--report", default=None,
                     help="append the markdown summary to this file")
     args = ap.parse_args()
@@ -149,9 +155,12 @@ def main():
     else:
         a_dir = os.path.join(args.out,
                              f"unisrec_a_lr{args.stage_a_lr}{args.tag}")
+        a_extra = ("--unisrec_train_all",)
+        if args.stage_a_pretrained_embedding:
+            a_extra += ("--pretrained_embedding",
+                        args.stage_a_pretrained_embedding)
         secs = _run(_argv(data, a_dir, args.stage_a_epochs, args.stage_a_lr,
-                          args.seed, args.batch,
-                          extra=("--unisrec_train_all",)))
+                          args.seed, args.batch, extra=a_extra))
         rd, rows = _epoch_rows(a_dir)
         last = rows[max(rows)]
         print(f"stage A (train_all, lr {args.stage_a_lr}, "
