@@ -72,6 +72,14 @@ def run_one(B, remat, attn_fp32, use_fused, steps=8, gelu_approx=False,
         state, loss = train_step(state, batch, label)
     float(loss)
     dt = (time.perf_counter() - t0) / steps
+    # release this config's device buffers + compiled programs before the
+    # next config: consecutive configs otherwise accumulate HBM (a B=8
+    # control after a B=32 scan run hit ResourceExhausted)
+    del state, params, batch, label, train_step
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
     return dt * 1e3, B / dt
 
 
