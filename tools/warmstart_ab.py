@@ -138,7 +138,11 @@ def main():
 
     # ---- stage 1: contrastive pretrain of the news tower (real CLI path)
     pre_out = os.path.join(args.out, "pre")
-    if not glob.glob(os.path.join(pre_out, "train", "*")):
+    done = [d for d in glob.glob(os.path.join(pre_out, "train", "*"))
+            if os.path.isdir(os.path.join(d, "ckpt", "finalModel"))]
+    for stale in set(glob.glob(os.path.join(pre_out, "train", "*"))) - set(done):
+        shutil.rmtree(stale)  # half-written run dir from a killed attempt
+    if not done:
         secs = run_cli(_common_argv(
             data_dir, pre_out, "pretrain", args.pretrain_epochs,
             args.pretrain_lr, seed=1,
