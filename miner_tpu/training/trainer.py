@@ -102,7 +102,13 @@ class ServingContext(NamedTuple):
 class Trainer:
     def __init__(self, args):
         self.args = args
-        self.model_name = (args.model_name or "Miner").lower()
+        # the pretrain subcommand pretrains the news encoder alone
+        # (reference: main.py:28-30 -> pretrainer.Trainer); derive the kind
+        # here so direct Trainer(args) callers — not just the CLI — get the
+        # pretrain model instead of silently training a Miner
+        default_name = ("pretrain" if getattr(args, "mode", None) ==
+                        "pretrain" else "Miner")
+        self.model_name = (args.model_name or default_name).lower()
         self.tokenizer = load_tokenizer(args.pretrained_tokenizer)
         with open(args.user2id_path) as f:
             self.user2id = json.load(f)
@@ -815,8 +821,16 @@ class Trainer:
         # an HF checkpoint when it names a local directory with weights.
         hf_ckpt = self.args.hf_checkpoint
         pe = getattr(self.args, "pretrained_embedding", None)
-        if not hf_ckpt and pe and os.path.isdir(pe):
-            hf_ckpt = pe
+        if not hf_ckpt and pe:
+            if os.path.isdir(pe):
+                hf_ckpt = pe
+            else:
+                # hub names (e.g. FacebookAI/roberta-base) are unreachable
+                # in a zero-egress environment — but say so loudly instead
+                # of silently training from scratch
+                getattr(self, "_log", logging.getLogger("miner_tpu")).warning(
+                    "--pretrained_embedding %r is not a local checkpoint "
+                    "directory; training from random init", pe)
         if hf_ckpt:
             from miner_tpu.models import hf_import
 

@@ -670,3 +670,22 @@ def test_warmstart_hf_roundtrip_e2e(fixture_dir, tmp_path):
     for k in want:
         np.testing.assert_array_equal(
             np.asarray(got[k]), np.asarray(want[k]), err_msg=str(k))
+
+
+def test_pretrain_mode_implies_pretrain_model(fixture_dir, tmp_path):
+    """Direct Trainer(args) construction with the pretrain subcommand must
+    build the pretrain kind (news encoder alone) without the caller setting
+    --model_name, exactly like the CLI (reference main.py:28-30). A silent
+    fall-through to Miner previously trained the wrong model."""
+    args = _train_args(fixture_dir, str(tmp_path))
+    args.mode = "pretrain"
+    args.model_name = None
+    trainer = Trainer(args)
+    assert trainer.model_name == "pretrain"
+    # an explicit --model_name still wins (multi-model trainers)
+    args2 = _train_args(fixture_dir, str(tmp_path))
+    args2.mode = "pretrain"
+    args2.model_name = "pretrain"
+    assert Trainer(args2).model_name == "pretrain"
+    args3 = _train_args(fixture_dir, str(tmp_path))
+    assert Trainer(args3).model_name == "miner"

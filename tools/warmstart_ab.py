@@ -88,7 +88,10 @@ def export_hf_checkpoint(pretrain_ckpt: str, hf_dir: str) -> str:
 
     params = CheckpointManager(os.path.dirname(pretrain_ckpt)).restore(
         os.path.basename(pretrain_ckpt))["params"]
-    sd = export_plm_state_dict(params["plm"], prefix="bert.")
+    # pretrain checkpoints root at the NewsEncoder ({plm, ...}); full-model
+    # checkpoints nest it under news_encoder
+    plm = params["plm"] if "plm" in params else params["news_encoder"]["plm"]
+    sd = export_plm_state_dict(plm, prefix="bert.")
     os.makedirs(hf_dir, exist_ok=True)
     torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
                os.path.join(hf_dir, "pytorch_model.bin"))
