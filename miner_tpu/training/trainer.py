@@ -102,13 +102,16 @@ class ServingContext(NamedTuple):
 class Trainer:
     def __init__(self, args):
         self.args = args
-        # the pretrain subcommand pretrains the news encoder alone
-        # (reference: main.py:28-30 -> pretrainer.Trainer); derive the kind
-        # here so direct Trainer(args) callers — not just the CLI — get the
-        # pretrain model instead of silently training a Miner
-        default_name = ("pretrain" if getattr(args, "mode", None) ==
-                        "pretrain" else "Miner")
-        self.model_name = (args.model_name or default_name).lower()
+        # the pretrain subcommand pretrains the news encoder alone,
+        # unconditionally (reference: main.py:28-30 -> pretrainer.Trainer;
+        # there is no model choice in that mode) — decided here, not in the
+        # CLI, so direct Trainer(args) callers get the pretrain model
+        # instead of silently training a Miner (--model_name parses with a
+        # default of "Miner", so a falsy-check cannot detect "unset")
+        if getattr(args, "mode", None) == "pretrain":
+            self.model_name = "pretrain"
+        else:
+            self.model_name = (args.model_name or "Miner").lower()
         self.tokenizer = load_tokenizer(args.pretrained_tokenizer)
         with open(args.user2id_path) as f:
             self.user2id = json.load(f)

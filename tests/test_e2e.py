@@ -679,13 +679,10 @@ def test_pretrain_mode_implies_pretrain_model(fixture_dir, tmp_path):
     fall-through to Miner previously trained the wrong model."""
     args = _train_args(fixture_dir, str(tmp_path))
     args.mode = "pretrain"
-    args.model_name = None
+    # NOTE: --model_name parses with default "Miner"; pretrain mode must
+    # override it regardless (the reference's pretrain offers no model
+    # choice, main.py:28-30)
     trainer = Trainer(args)
     assert trainer.model_name == "pretrain"
-    # an explicit --model_name still wins (multi-model trainers)
-    args2 = _train_args(fixture_dir, str(tmp_path))
-    args2.mode = "pretrain"
-    args2.model_name = "pretrain"
-    assert Trainer(args2).model_name == "pretrain"
     args3 = _train_args(fixture_dir, str(tmp_path))
     assert Trainer(args3).model_name == "miner"
