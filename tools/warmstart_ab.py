@@ -15,8 +15,29 @@ this zero-egress environment, so this manufactures the artifact in-env:
      ``--pretrained_embedding <dir>`` (warm) and once from scratch (cold),
   4. report eval metrics side by side (appends WARMSTART_r04.md).
 
+Two artifact manufactures (``--artifact``):
+
+  contrastive  the CLI ``pretrain`` mode (reference objective
+               src/loss.py:87-98).  Measured result: this objective is
+               repulsion-only (maximize pos<->neg cosine distance, no
+               attraction term beyond the 0.001 aug weight) — applied to a
+               RANDOM tower it saturates (loss pinned at the
+               -2*npratio*batch bound) and collapses the representation,
+               and the warm legs train WORSE than cold.  The reference
+               only ever applies it to an already-pretrained RoBERTa at
+               lr 2e-5 (config/pretrain_miner.txt), where tiny steps and a
+               strong init prevent collapse.  Kept as a negative finding.
+  domain       a tower pretrained the way the real regime is: by training
+               on text from the same distribution.  A Miner trains on a
+               DISJOINT corpus (same generator, different seed — no
+               shared behaviors/news rows), its tower is exported to the
+               transformers format, and the A/B warm-starts from that.
+               This is the in-env stand-in for "RoBERTa pretrained on a
+               big corpus, finetuned on MIND".
+
 Usage:
-    JAX_PLATFORMS=cpu python tools/warmstart_ab.py --out /tmp/warmstart
+    JAX_PLATFORMS=cpu python tools/warmstart_ab.py --out /tmp/warmstart \
+        --artifact domain
 """
 from __future__ import annotations
 
@@ -118,6 +139,11 @@ def main():
     ap.add_argument("--finetune_epochs", type=int, default=1)
     ap.add_argument("--finetune_lr", type=float, default=5e-4)
     ap.add_argument("--seeds", type=int, nargs="+", default=[13, 14, 15])
+    ap.add_argument("--artifact", choices=["contrastive", "domain"],
+                    default="contrastive")
+    ap.add_argument("--domain_seed", type=int, default=77,
+                    help="generator seed for the disjoint pretraining "
+                         "corpus (--artifact domain)")
     args = ap.parse_args()
 
     import jax
@@ -139,24 +165,6 @@ def main():
     if not os.path.exists(aug):
         shutil.copy(os.path.join(data_dir, "news.tsv"), aug)
 
-    # ---- stage 1: contrastive pretrain of the news tower (real CLI path)
-    pre_out = os.path.join(args.out, "pre")
-    done = [d for d in glob.glob(os.path.join(pre_out, "train", "*"))
-            if os.path.isdir(os.path.join(d, "ckpt", "finalModel"))]
-    for stale in set(glob.glob(os.path.join(pre_out, "train", "*"))) - set(done):
-        shutil.rmtree(stale)  # half-written run dir from a killed attempt
-    if not done:
-        secs = run_cli(_common_argv(
-            data_dir, pre_out, "pretrain", args.pretrain_epochs,
-            args.pretrain_lr, seed=1,
-            extra=("--augmentations", "enhanced_text", "--online", "1",
-                   "--evaluation_info", "loss")))
-        print(f"pretrain done in {secs:.0f}s")
-    hf_dir = export_hf_checkpoint(
-        os.path.join(latest_run_dir(pre_out), "ckpt", "finalModel"),
-        os.path.join(args.out, "hf_ckpt"))
-    print(f"exported transformers-format checkpoint -> {hf_dir}")
-
     miner_extra = (
         "--model_name", "Miner", "--use_category_bias",
         "--category_embed_dim", str(D_CAT),
@@ -164,10 +172,54 @@ def main():
         "--score_type", "weighted",
         "--metrics", "auc", "group_auc", "mrr", "ndcg@5", "ndcg@10",
     )
+
+    # ---- stage 1: manufacture the pretrained-tower artifact
+    if args.artifact == "contrastive":
+        # contrastive pretrain of the news tower (real CLI `pretrain` path)
+        pre_out = os.path.join(args.out, "pre")
+        done = [d for d in glob.glob(os.path.join(pre_out, "train", "*"))
+                if os.path.isdir(os.path.join(d, "ckpt", "finalModel"))]
+        for stale in set(glob.glob(os.path.join(pre_out, "train", "*"))) - set(done):
+            shutil.rmtree(stale)  # half-written run dir from a killed attempt
+        if not done:
+            secs = run_cli(_common_argv(
+                data_dir, pre_out, "pretrain", args.pretrain_epochs,
+                args.pretrain_lr, seed=1,
+                extra=("--augmentations", "enhanced_text", "--online", "1",
+                       "--evaluation_info", "loss")))
+            print(f"pretrain done in {secs:.0f}s")
+        hf_dir = export_hf_checkpoint(
+            os.path.join(latest_run_dir(pre_out), "ckpt", "finalModel"),
+            os.path.join(args.out, "hf_ckpt"))
+    else:
+        # domain pretrain: a Miner trained on a DISJOINT corpus donates its
+        # tower (no shared behaviors/news rows with the A/B corpus)
+        dom_data = os.path.join(args.out, "domain_data")
+        if not os.path.exists(os.path.join(dom_data, "behaviors.tsv")):
+            make_synth_mind(dom_data, n_news=args.news,
+                            n_train_lines=args.events,
+                            n_users=max(300, args.events // 10),
+                            n_eval_lines=args.eval_lines,
+                            hist_len=(H, H + 4), seed=args.domain_seed)
+        pre_out = os.path.join(args.out, "domain_pre")
+        done = [d for d in glob.glob(os.path.join(pre_out, "train", "*"))
+                if os.path.isdir(os.path.join(d, "ckpt", "finalModel"))]
+        for stale in set(glob.glob(os.path.join(pre_out, "train", "*"))) - set(done):
+            shutil.rmtree(stale)
+        if not done:
+            secs = run_cli(_common_argv(
+                dom_data, pre_out, "train", args.pretrain_epochs,
+                args.finetune_lr, seed=1, extra=miner_extra))
+            print(f"domain pretrain done in {secs:.0f}s")
+        hf_dir = export_hf_checkpoint(
+            os.path.join(latest_run_dir(pre_out), "ckpt", "finalModel"),
+            os.path.join(args.out, "hf_domain"))
+    print(f"exported transformers-format checkpoint -> {hf_dir}")
     rows = []
     for seed in args.seeds:
         for label, extra in (
-            ("warm", miner_extra + ("--pretrained_embedding", hf_dir)),
+            (f"warm-{args.artifact}", miner_extra
+             + ("--pretrained_embedding", hf_dir)),
             ("cold", miner_extra),
         ):
             run_out = os.path.join(args.out, f"{label}_{seed}")
