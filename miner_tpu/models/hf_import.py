@@ -793,12 +793,34 @@ def load_unisrec_pretrained(params, pth_path: str):
 
     ``strict=False`` semantics: only keys present in both trees are replaced;
     a shape mismatch is an error (torch would raise there too).
+
+    Two artifact layouts are accepted, mirroring what the reference's
+    double ``load_state_dict(..., strict=False)`` (reference:
+    src/trainer_fastformer.py:134-138) would land:
+
+    * the external RecBole layout — top-level ``moe_adaptor.*`` /
+      ``position_embedding`` / ``trm_encoder.*`` / ``LayerNorm`` keys, no
+      news tower (the tower comes separately from the pretrained PLM,
+      reference: src/model/news_encoder.py:190);
+    * a full reference-model layout (``news_encoder.roberta.*`` +
+      ``news_encoder.moe_adaptor.*`` + the seq-encoder keys) — e.g. the
+      :func:`export_unisrec_state_dict` artifact.  The reference's
+      model-level strict=False load would restore the tower from such a
+      dict too, so this does as well.
     """
+    import re
+
     import torch
 
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
     sd = {k: np.asarray(vv) for k, vv in sd.items()}
-    partial = convert_unisrec_state_dict(sd)
+    tower_layer = re.compile(
+        r"news_encoder\.(?:roberta|bert)\.encoder\.layer\.(\d+)\.")
+    layer_ids = [int(m.group(1)) for m in map(tower_layer.match, sd) if m]
+    if layer_ids:
+        partial = convert_unisrec_model_state_dict(sd, max(layer_ids) + 1)
+    else:
+        partial = convert_unisrec_state_dict(sd)
 
     n_loaded = 0
 

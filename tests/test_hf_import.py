@@ -488,6 +488,64 @@ def test_export_unisrec_round_trip():
     assert "LayerNorm.weight" in sd
 
 
+def test_load_unisrec_pretrained_full_layout(tmp_path):
+    """A FULL reference-model-layout .pth (the export_unisrec_state_dict
+    artifact: news_encoder.roberta.* tower + news_encoder.moe_adaptor.* +
+    seq-encoder keys) grafts back completely — including the tower. The
+    reference's model-level ``load_state_dict(..., strict=False)``
+    (src/trainer_fastformer.py:134-138) lands every one of those keys, so
+    ours must too: this is what makes the manufactured pretrain->finetune
+    contract carry the trained tower into the frozen finetune."""
+    import torch
+
+    from miner_tpu.models import UniSRec
+    from miner_tpu.models.hf_import import (
+        export_unisrec_state_dict,
+        load_unisrec_pretrained,
+    )
+    from miner_tpu.models.news_encoder import NewsEncoderMoe
+
+    cfg = PLMConfig.tiny()
+    enc = NewsEncoderMoe(plm_cfg=cfg, use_sapo=False,
+                         combine_type="pre-concat", n_experts=3,
+                         adaptor_out_dim=24)
+    model = UniSRec(news_encoder=enc, max_his_len=4)
+    B, C, H, L = 2, 3, 4, 8
+    rng = np.random.default_rng(0)
+
+    def ids(shape):
+        return jnp.asarray(
+            rng.integers(1, cfg.vocab_size, size=shape).astype(np.int32))
+
+    batch = {
+        "cand_title": ids((B, C, L)),
+        "cand_title_mask": jnp.ones((B, C, L), jnp.int32),
+        "his_title": ids((B, H, L)),
+        "his_title_mask": jnp.ones((B, H, L), jnp.int32),
+        "his_mask": jnp.ones((B, H), jnp.int32),
+    }
+    src = model.init(
+        {"params": jax.random.PRNGKey(0), "gating": jax.random.PRNGKey(1)},
+        batch)["params"]
+    dst = model.init(
+        {"params": jax.random.PRNGKey(7), "gating": jax.random.PRNGKey(8)},
+        batch)["params"]
+
+    path = str(tmp_path / "full_unisrec.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+                export_unisrec_state_dict(src, plm_name="roberta").items()},
+               path)
+    merged, n_loaded = load_unisrec_pretrained(dst, path)
+
+    src_leaves = jax.tree_util.tree_leaves_with_path(src)
+    merged_map = dict(jax.tree_util.tree_leaves_with_path(merged))
+    assert len(src_leaves) == n_loaded  # every tensor (incl. tower) landed
+    for path_, leaf in src_leaves:
+        np.testing.assert_allclose(
+            np.asarray(merged_map[path_]), np.asarray(leaf), atol=1e-6,
+            err_msg=jax.tree_util.keystr(path_))
+
+
 def test_layout_gate_for_position_sensitive_transfer():
     """Checkpoint transfer of position-sensitive models errors loudly
     unless the legacy (reference pads-first) layout is acknowledged —
