@@ -148,6 +148,12 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize PLM layers to save HBM")
+    p.add_argument("--remat_policy", type=str, default="",
+                   choices=["", "dots"],
+                   help="selective-remat policy under --remat: 'dots' saves "
+                        "every no-batch-dim dot_general result (the big "
+                        "activation matmuls) so the backward never re-runs "
+                        "an MXU op; '' recomputes everything")
     p.add_argument("--scan_layers", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="lax.scan over PLM layers: compiles one layer body "
@@ -346,7 +352,7 @@ def configure_compilation_cache(path: Optional[str] = None) -> Optional[str]:
 def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = False,
                gelu_approx: Optional[bool] = None, attn_fp32: Optional[bool] = None,
                fused_attention: Optional[bool] = None, mesh=None,
-               scan_layers: bool = False):
+               scan_layers: bool = False, remat_policy: str = ""):
     from miner_tpu.models.plm import PLMConfig
     import dataclasses as dc
 
@@ -383,4 +389,6 @@ def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = Fals
         cfg = dc.replace(cfg, mesh=mesh)
     if scan_layers:
         cfg = dc.replace(cfg, scan_layers=True)
+    if remat_policy:
+        cfg = dc.replace(cfg, remat_policy=remat_policy)
     return cfg

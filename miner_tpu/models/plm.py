@@ -48,6 +48,15 @@ class PLMConfig:
     position_offset: int = 2
     initializer_range: float = 0.02
     remat: bool = False
+    # selective-remat policy used when remat=True:
+    #   ""     — recompute everything (plus attn_ctx saving when fused, below)
+    #   "dots" — save every dot_general result with no batch dims (the big
+    #            activation matmuls: QKV/out/MLP projections), recompute only
+    #            the cheap elementwise chain. Middle ground between full remat
+    #            (min HBM, +33% FLOPs) and no remat (max HBM): the backward
+    #            never re-runs an MXU op, while gelu/LN/softmax inputs stay
+    #            off the live set.
+    remat_policy: str = ""
     # fp32 attention softmax (safer); False keeps the whole softmax chain in
     # the compute dtype — halves the dominant activation tensor on TPU.
     attn_fp32: bool = True
@@ -416,9 +425,15 @@ class TransformerPLM(nn.Module):
             # (named "attn_ctx", ~2.6GB at bench geometry) skips re-running
             # the attention forward kernel during the remat recompute.
             policy = None
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif cfg.remat_policy:
+                raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
             if cfg.fused_attention:
-                policy = jax.checkpoint_policies.save_only_these_names(
+                attn_policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_ctx")
+                policy = (jax.checkpoint_policies.save_from_both_policies(
+                    policy, attn_policy) if policy is not None else attn_policy)
             layer_cls = nn.remat(TransformerLayer, static_argnums=(3,),
                                  policy=policy)
         if cfg.scan_layers:

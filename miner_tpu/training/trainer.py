@@ -234,7 +234,8 @@ class Trainer:
                          attn_fp32=getattr(a, "attn_fp32", True),
                          fused_attention=use_fused,
                          mesh=self.mesh if self.n_devices > 1 else None,
-                         scan_layers=getattr(a, "scan_layers", False))
+                         scan_layers=getattr(a, "scan_layers", False),
+                         remat_policy=getattr(a, "remat_policy", ""))
         if self.model_name in ("miner", "pretrain"):
             encoder = NewsEncoder(
                 plm_cfg=plm,

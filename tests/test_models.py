@@ -363,3 +363,50 @@ def test_scan_layers_matches_unrolled(rng):
     out_sr = plm_sr.apply({"params": params_s}, ids, mask)
     np.testing.assert_allclose(np.asarray(out_sr), np.asarray(out_u),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("policy", ["", "dots"])
+def test_remat_policy_identity(rng, policy):
+    """Rematerialization (full or dots-saveable selective) must be a pure
+    scheduling choice: forward output and gradients bit-compare against the
+    no-remat tower with the same params."""
+    import dataclasses as dc
+
+    from miner_tpu.models.plm import PLMConfig, TransformerPLM
+
+    cfg = PLMConfig.tiny()
+    B, L = 4, 16
+    ids = jnp.asarray(rng.integers(1, 500, size=(B, L)).astype(np.int32))
+    mask = jnp.ones((B, L), jnp.int32)
+
+    plm0 = TransformerPLM(cfg)
+    params = plm0.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    plm_r = TransformerPLM(dc.replace(cfg, remat=True, remat_policy=policy))
+
+    out0 = plm0.apply({"params": params}, ids, mask)
+    out_r = plm_r.apply({"params": params}, ids, mask)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out0))
+
+    g0 = jax.grad(lambda p: jnp.sum(
+        plm0.apply({"params": p}, ids, mask) ** 2))(params)
+    g_r = jax.grad(lambda p: jnp.sum(
+        plm_r.apply({"params": p}, ids, mask) ** 2))(params)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_r),
+        jax.tree_util.tree_leaves_with_path(g0),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=jax.tree_util.keystr(pa))
+
+
+def test_remat_policy_unknown_rejected(rng):
+    import dataclasses as dc
+
+    from miner_tpu.models.plm import PLMConfig, TransformerPLM
+
+    cfg = dc.replace(PLMConfig.tiny(), remat=True, remat_policy="bogus")
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.ones((2, 8), jnp.int32)
+    with pytest.raises(ValueError, match="remat_policy"):
+        TransformerPLM(cfg).init(jax.random.PRNGKey(0), ids, mask)

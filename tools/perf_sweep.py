@@ -17,7 +17,7 @@ sys.path.insert(0, ".")
 
 
 def run_one(B, remat, attn_fp32, use_fused, steps=8, gelu_approx=False,
-            scan_layers=False):
+            scan_layers=False, remat_policy=""):
     from __graft_entry__ import _build_miner, _synthetic_batch
     from miner_tpu.config import plm_config
     from miner_tpu.models import Miner, NewsEncoder
@@ -31,7 +31,8 @@ def run_one(B, remat, attn_fp32, use_fused, steps=8, gelu_approx=False,
 
     plm = plm_config("roberta_base", vocab_size=vocab, remat=remat,
                      attn_fp32=attn_fp32, gelu_approx=gelu_approx,
-                     fused_attention=use_fused, scan_layers=scan_layers)
+                     fused_attention=use_fused, scan_layers=scan_layers,
+                     remat_policy=remat_policy)
     encoder = NewsEncoder(
         plm_cfg=plm, apply_reduce_dim=True, word_embed_dim=256,
         use_sapo=True, combine_type="linear", dropout=0.2, dtype=jnp.bfloat16,
@@ -86,7 +87,8 @@ def run_one(B, remat, attn_fp32, use_fused, steps=8, gelu_approx=False,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=str, default=None,
-                    help="semicolon list: B,remat,attn_fp32,fused[,gelu[,scan]] (1/0)")
+                    help="semicolon list: B,remat,attn_fp32,fused[,gelu[,scan[,dots]]] "
+                         "(1/0; dots=1 -> remat_policy='dots')")
     ap.add_argument("--rbg", action="store_true",
                     help="use the TPU hardware rbg PRNG for dropout masks")
     args = ap.parse_args()
@@ -103,20 +105,23 @@ def main():
         b, r, a, f = parts[:4]
         g = parts[4] if len(parts) > 4 else 0
         sc = parts[5] if len(parts) > 5 else 0
-        cfgs.append((b, bool(r), bool(a), bool(f), bool(g), bool(sc)))
-    for (B, remat, attn_fp32, fused, gelu, scan) in cfgs:
+        dp = parts[6] if len(parts) > 6 else 0
+        cfgs.append((b, bool(r), bool(a), bool(f), bool(g), bool(sc),
+                     "dots" if dp else ""))
+    for (B, remat, attn_fp32, fused, gelu, scan, pol) in cfgs:
         try:
             t0 = time.perf_counter()
             ms, eps = run_one(B, remat, attn_fp32, fused, gelu_approx=gelu,
-                              scan_layers=scan)
+                              scan_layers=scan, remat_policy=pol)
             total = time.perf_counter() - t0
             print(f"B={B:3d} remat={int(remat)} attn_fp32={int(attn_fp32)} "
                   f"fused={int(fused)} gelu~={int(gelu)} scan={int(scan)} "
-                  f"rbg={int(args.rbg)}  step={ms:8.1f}ms  {eps:7.2f} ex/s  "
-                  f"(compile+run {total:.0f}s)", flush=True)
+                  f"pol={pol or '-'} rbg={int(args.rbg)}  step={ms:8.1f}ms  "
+                  f"{eps:7.2f} ex/s  (compile+run {total:.0f}s)", flush=True)
         except Exception as e:  # OOM etc.
             print(f"B={B:3d} remat={int(remat)} attn_fp32={int(attn_fp32)} "
-                  f"fused={int(fused)} gelu~={int(gelu)} scan={int(scan)}  "
+                  f"fused={int(fused)} gelu~={int(gelu)} scan={int(scan)} "
+                  f"pol={pol or '-'}  "
                   f"FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
