@@ -176,6 +176,12 @@ def _add_common(p: argparse.ArgumentParser):
                         "bit-faithful checkpoint transfer with the "
                         "reference for position-sensitive models "
                         "(unbert/unisrec/fastformer)")
+    p.add_argument("--force_layout_mismatch", action="store_true",
+                   help="load a position-sensitive pretrained artifact "
+                        "(e.g. --unisrec_pretrained_path with a full-model "
+                        "layout) even when its history-row layout does not "
+                        "match this run's — the model will see a shifted "
+                        "input distribution")
     p.add_argument("--cached_eval", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="evaluate from the news-embedding cache (one PLM pass "
@@ -390,5 +396,12 @@ def plm_config(preset: str, vocab_size: Optional[int] = None, remat: bool = Fals
     if scan_layers:
         cfg = dc.replace(cfg, scan_layers=True)
     if remat_policy:
+        if not remat:
+            # a user asking for a selective policy wants remat; silently
+            # running full-recompute-free (max HBM) would be a surprise
+            raise ValueError(
+                f"--remat_policy {remat_policy!r} has no effect without "
+                "--remat; pass --remat (or drop --remat_policy)"
+            )
         cfg = dc.replace(cfg, remat_policy=remat_policy)
     return cfg

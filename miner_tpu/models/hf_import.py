@@ -728,15 +728,28 @@ def convert_unisrec_model_state_dict(sd: Dict[str, np.ndarray],
     return params
 
 
-def export_unisrec_state_dict(params: Dict,
-                              plm_name: str = "roberta") -> Dict[str, np.ndarray]:
+HISTORY_LAYOUT_MARKER = "_miner_tpu_history_layout"
+
+
+def export_unisrec_state_dict(params: Dict, plm_name: str = "roberta",
+                              history_layout: str = "clicks_first",
+                              ) -> Dict[str, np.ndarray]:
     """Exact inverse of :func:`convert_unisrec_model_state_dict` — lets a
     UniSRec trained here load into the reference ``UniSRec`` (reference:
     src/model/model_unisrec.py:369-450) via ``load_state_dict(...,
     strict=False)``.  The batched (E, D_in, D_out) expert tensor unstacks
     back into per-expert ``moe_adaptor.experts.{i}.lin.weight`` / ``.bias``
     keys and the fused QKV kernels split back into RecBole's
-    ``multi_head_attention.{query,key,value}`` spellings."""
+    ``multi_head_attention.{query,key,value}`` spellings.
+
+    ``history_layout`` records which history convention the model was
+    trained under (``"clicks_first"`` — our default — or ``"legacy"``, the
+    reference's pads-first rows) as a one-element marker tensor under
+    ``HISTORY_LAYOUT_MARKER``: UniSRec's position-0 user vector makes the
+    artifact layout-sensitive, and :func:`load_unisrec_pretrained` uses the
+    marker to verify the consuming run's layout matches. The reference's own
+    ``load_state_dict(..., strict=False)`` simply reports the marker as an
+    unexpected key. ``history_layout=None`` omits the marker."""
 
     def a(x):
         return np.asarray(x)
@@ -785,10 +798,16 @@ def export_unisrec_state_dict(params: Dict,
         sd[p + "feed_forward.LayerNorm.weight"] = a(lp["ffn_ln"]["scale"])
         sd[p + "feed_forward.LayerNorm.bias"] = a(lp["ffn_ln"]["bias"])
         i += 1
+    if history_layout is not None:
+        if history_layout not in ("clicks_first", "legacy"):
+            raise ValueError(f"unknown history_layout {history_layout!r}")
+        sd[HISTORY_LAYOUT_MARKER] = np.asarray(
+            [1 if history_layout == "legacy" else 0], np.int8)
     return sd
 
 
-def load_unisrec_pretrained(params, pth_path: str):
+def load_unisrec_pretrained(params, pth_path: str, legacy_layout: bool = False,
+                            force: bool = False):
     """Graft a UniSRec pretrained torch checkpoint into ``params``.
 
     ``strict=False`` semantics: only keys present in both trees are replaced;
@@ -801,23 +820,52 @@ def load_unisrec_pretrained(params, pth_path: str):
     * the external RecBole layout — top-level ``moe_adaptor.*`` /
       ``position_embedding`` / ``trm_encoder.*`` / ``LayerNorm`` keys, no
       news tower (the tower comes separately from the pretrained PLM,
-      reference: src/model/news_encoder.py:190);
+      reference: src/model/news_encoder.py:190).  Accepted without a layout
+      gate: the artifact's sequential encoder was pretrained on external
+      item sequences (RecBole's own convention), not on either of this
+      family's history-row layouts.
     * a full reference-model layout (``news_encoder.roberta.*`` +
       ``news_encoder.moe_adaptor.*`` + the seq-encoder keys) — e.g. the
       :func:`export_unisrec_state_dict` artifact.  The reference's
       model-level strict=False load would restore the tower from such a
-      dict too, so this does as well.
+      dict too, so this does as well.  This layout IS history-layout
+      sensitive (the position-0 user vector reads the first history slot —
+      a pad row under the reference's pads-first rows, a click under our
+      default): our exports carry a layout marker that must match
+      ``legacy_layout``; an unmarked (reference-trained) artifact requires
+      the same ``--legacy_history_layout`` / ``force`` acknowledgment as
+      tools/import_reference_checkpoint.py.
     """
     import re
 
     import torch
 
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
-    sd = {k: np.asarray(vv) for k, vv in sd.items()}
+    marker = sd.pop(HISTORY_LAYOUT_MARKER, None)
+    sd = {k: np.asarray(vv) for k, vv in sd.items()
+          if not k.startswith("_miner_tpu")}
     tower_layer = re.compile(
         r"news_encoder\.(?:roberta|bert)\.encoder\.layer\.(\d+)\.")
     layer_ids = [int(m.group(1)) for m in map(tower_layer.match, sd) if m]
     if layer_ids:
+        if marker is not None:
+            artifact_legacy = bool(int(np.asarray(marker).ravel()[0]))
+            if artifact_legacy != bool(legacy_layout) and not force:
+                a_name = "legacy (pads-first)" if artifact_legacy \
+                    else "clicks-first"
+                r_name = "legacy (pads-first)" if legacy_layout \
+                    else "clicks-first"
+                raise ValueError(
+                    f"UniSRec artifact {pth_path} was trained under the "
+                    f"{a_name} history layout but this run uses {r_name}: "
+                    "the position-0 user vector would read a different "
+                    "history slot than the one it was trained on. Match "
+                    "the layout (--legacy_history_layout) or pass "
+                    "--force_layout_mismatch to load anyway."
+                )
+        else:
+            check_history_layout_for_transfer("unisrec", legacy_layout,
+                                              force=force)
         partial = convert_unisrec_model_state_dict(sd, max(layer_ids) + 1)
     else:
         partial = convert_unisrec_state_dict(sd)

@@ -86,6 +86,15 @@ class PLMConfig:
     # (tests/test_models.py::test_scan_layers_matches_unrolled).
     scan_layers: bool = False
 
+    def __post_init__(self):
+        # Validate eagerly (also on every dataclasses.replace), not just
+        # inside the `if remat:` branch of the tower: a policy typo must be
+        # loud even when remat is off, where the branch never runs.
+        if self.remat_policy not in ("", "dots"):
+            raise ValueError(
+                f"unknown remat_policy {self.remat_policy!r} (use '' or 'dots')"
+            )
+
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads

@@ -849,7 +849,9 @@ class Trainer:
             from miner_tpu.models import hf_import
 
             params, n = hf_import.load_unisrec_pretrained(
-                params, self.args.unisrec_pretrained_path
+                params, self.args.unisrec_pretrained_path,
+                legacy_layout=self._legacy_layout,
+                force=getattr(self.args, "force_layout_mismatch", False),
             )
             getattr(self, "_log", logging.getLogger("miner_tpu")).info(
                 "loaded %d tensors from UniSRec pretrained checkpoint %s",

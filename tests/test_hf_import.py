@@ -545,6 +545,40 @@ def test_load_unisrec_pretrained_full_layout(tmp_path):
             np.asarray(merged_map[path_]), np.asarray(leaf), atol=1e-6,
             err_msg=jax.tree_util.keystr(path_))
 
+    # The artifact self-describes its history layout (clicks-first default);
+    # consuming it under --legacy_history_layout is a DIFFERENT function for
+    # UniSRec (position-0 user vector) and must be refused without force.
+    with pytest.raises(ValueError, match="history layout"):
+        load_unisrec_pretrained(dst, path, legacy_layout=True)
+    merged2, n2 = load_unisrec_pretrained(dst, path, legacy_layout=True,
+                                          force=True)
+    assert n2 == n_loaded
+
+    # A legacy-marked export only loads into a legacy-layout run.
+    path_l = str(tmp_path / "full_unisrec_legacy.pth")
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+         export_unisrec_state_dict(src, plm_name="roberta",
+                                   history_layout="legacy").items()},
+        path_l)
+    with pytest.raises(ValueError, match="history layout"):
+        load_unisrec_pretrained(dst, path_l)
+    load_unisrec_pretrained(dst, path_l, legacy_layout=True)
+
+    # An UNMARKED full-layout artifact (a reference-trained model, whose
+    # recipe is pads-first) needs the same acknowledgment as
+    # tools/import_reference_checkpoint.py.
+    path_u = str(tmp_path / "full_unisrec_unmarked.pth")
+    torch.save(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+         export_unisrec_state_dict(src, plm_name="roberta",
+                                   history_layout=None).items()},
+        path_u)
+    with pytest.raises(ValueError, match="legacy_history_layout"):
+        load_unisrec_pretrained(dst, path_u)
+    load_unisrec_pretrained(dst, path_u, legacy_layout=True)
+    load_unisrec_pretrained(dst, path_u, force=True)
+
 
 def test_layout_gate_for_position_sensitive_transfer():
     """Checkpoint transfer of position-sensitive models errors loudly

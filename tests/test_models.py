@@ -401,12 +401,24 @@ def test_remat_policy_identity(rng, policy):
 
 
 def test_remat_policy_unknown_rejected(rng):
+    """Config construction itself validates the policy — a typo is loud even
+    when remat is off (where the tower's remat branch would never run)."""
     import dataclasses as dc
 
-    from miner_tpu.models.plm import PLMConfig, TransformerPLM
+    from miner_tpu.models.plm import PLMConfig
 
-    cfg = dc.replace(PLMConfig.tiny(), remat=True, remat_policy="bogus")
-    ids = jnp.ones((2, 8), jnp.int32)
-    mask = jnp.ones((2, 8), jnp.int32)
     with pytest.raises(ValueError, match="remat_policy"):
-        TransformerPLM(cfg).init(jax.random.PRNGKey(0), ids, mask)
+        dc.replace(PLMConfig.tiny(), remat=True, remat_policy="bogus")
+    with pytest.raises(ValueError, match="remat_policy"):
+        dc.replace(PLMConfig.tiny(), remat=False, remat_policy="bogus")
+
+
+def test_remat_policy_without_remat_rejected():
+    """--remat_policy dots without --remat is a silent no-op in the tower;
+    plm_config refuses it loudly instead."""
+    from miner_tpu.config import plm_config
+
+    with pytest.raises(ValueError, match="--remat"):
+        plm_config("tiny", remat=False, remat_policy="dots")
+    cfg = plm_config("tiny", remat=True, remat_policy="dots")
+    assert cfg.remat and cfg.remat_policy == "dots"

@@ -538,7 +538,13 @@ def test_unisrec_export_loads_into_reference_model(tmp_path, monkeypatch,
                              combine_type="pre-concat")
     rmodel = RefUniSRec(news_encoder=renc, args=None)
     result = rmodel.load_state_dict(sd, strict=False)
-    assert not result.unexpected_keys, result.unexpected_keys
+    # the only unexpected key is the deliberate history-layout marker tensor
+    # (export_unisrec_state_dict self-describes the layout it was trained
+    # under; strict=False makes it a no-op on the reference side)
+    from miner_tpu.models.hf_import import HISTORY_LAYOUT_MARKER
+
+    assert result.unexpected_keys in ([], [HISTORY_LAYOUT_MARKER]), \
+        result.unexpected_keys
     for k in result.missing_keys:
         assert ("position_ids" in k or ".pooler." in k), k
 

@@ -74,7 +74,10 @@ def main():
     elif args.model_name == "unbert":
         sd = hf_import.export_unbert_state_dict(params)
     else:
-        sd = hf_import.export_unisrec_state_dict(params, plm_name=args.plm_name)
+        sd = hf_import.export_unisrec_state_dict(
+            params, plm_name=args.plm_name,
+            history_layout="legacy" if args.legacy_history_layout
+            else "clicks_first")
 
     import numpy as np
 

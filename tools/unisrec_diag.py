@@ -74,7 +74,24 @@ def make_batch(rng: np.random.Generator):
 
 
 def run(seq_dropout: float, train_det: bool, lr: float, steps: int,
-        seed: int = 0) -> tuple[float, float]:
+        seed: int = 0, mode: str = "faithful") -> tuple[float, float]:
+    """``mode``:
+
+    * ``faithful`` — the full model (sequential tail + all train noise per
+      ``train_det``/``seq_dropout``), as the reference trains it;
+    * ``bypass`` — drop the sequential encoder from the graph entirely:
+      score = cand_repr · first-history repr. Isolates whether the
+      tower+adaptor can learn at all when the 2-layer causal tail is not
+      between the signal and the loss;
+    * ``reattach`` — phase 1 trains ``steps`` steps in bypass mode (warming
+      the tower), then phase 2 re-attaches the FULL faithful tail and trains
+      ``steps`` more. Shows the faithful architecture trains fine once the
+      tower is informative — i.e. the from-scratch blocker is the
+      rank-collapsed random tower, not the tail.
+
+    Holdout accuracy is always computed with the faithful deterministic
+    model except in ``bypass`` mode (where the tail was never trained).
+    """
     import miner_tpu.models.unisrec as uni
     from miner_tpu.models.news_encoder import NewsEncoderMoe
     from miner_tpu.models.plm import PLMConfig
@@ -99,28 +116,60 @@ def run(seq_dropout: float, train_det: bool, lr: float, steps: int,
         tx = optax.adam(lr)
         opt = tx.init(params)
 
-        def loss_fn(p, batch, label, key):
-            logits = model.apply(
-                {"params": p}, batch, deterministic=train_det,
-                rngs={"dropout": key, "gating": jax.random.fold_in(key, 7)})
+        def bypass_logits(p, batch, key, det):
+            # tower+adaptor only: same encode path as UniSRec.__call__, but
+            # the score is cand · first-history repr — no sequential encoder
+            def flat(x):
+                return x.reshape((-1,) + x.shape[2:])
+
+            title_ids = jnp.concatenate(
+                [flat(batch["cand_title"]), flat(batch["his_title"])])
+            title_mask = jnp.concatenate(
+                [flat(batch["cand_title_mask"]), flat(batch["his_title_mask"])])
+            rngs = (None if det else
+                    {"dropout": key, "gating": jax.random.fold_in(key, 7)})
+            reprs = model.apply({"params": p}, title_ids, title_mask,
+                                deterministic=det, rngs=rngs,
+                                method=uni.UniSRec.encode_news)
+            Bc, Cc = batch["cand_title"].shape[:2]
+            D = reprs.shape[-1]
+            cand = reprs[:Bc * Cc].reshape(Bc, Cc, D)
+            his0 = reprs[Bc * Cc:].reshape(Bc, -1, D)[:, 0, :]
+            return jnp.einsum("bcd,bd->bc", cand, his0)
+
+        def loss_fn(p, batch, label, key, bypass):
+            if bypass:
+                logits = bypass_logits(p, batch, key, train_det)
+            else:
+                logits = model.apply(
+                    {"params": p}, batch, deterministic=train_det,
+                    rngs={"dropout": key, "gating": jax.random.fold_in(key, 7)})
             return optax.softmax_cross_entropy(logits, label).mean()
 
-        @jax.jit
-        def step(p, opt, batch, label, key):
-            loss, g = jax.value_and_grad(loss_fn)(p, batch, label, key)
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(5,))
+        def step(p, opt, batch, label, key, bypass):
+            loss, g = jax.value_and_grad(loss_fn)(p, batch, label, key, bypass)
             up, opt = tx.update(g, opt, p)
             return optax.apply_updates(p, up), opt, loss
 
         key = jax.random.PRNGKey(seed + 100)
         loss = None
-        for _ in range(steps):
-            batch, label = make_batch(rng)
-            key, sub = jax.random.split(key)
-            params, opt, loss = step(params, opt, batch, label, sub)
+        phases = {"faithful": [False], "bypass": [True],
+                  "reattach": [True, False]}[mode]
+        for bypass in phases:
+            for _ in range(steps):
+                batch, label = make_batch(rng)
+                key, sub = jax.random.split(key)
+                params, opt, loss = step(params, opt, batch, label, sub,
+                                         bypass)
 
         @jax.jit
         def acc_fn(p, batch, label):
-            logits = model.apply({"params": p}, batch, deterministic=True)
+            logits = (bypass_logits(p, batch, None, True)
+                      if mode == "bypass" else
+                      model.apply({"params": p}, batch, deterministic=True))
             return (jnp.argmax(logits, -1) == jnp.argmax(label, -1)).mean()
 
         accs = []
@@ -141,14 +190,16 @@ def main():
     print(f"planted-topic task: chance acc = {1 / C:.2f}, chance loss = "
           f"{np.log(C):.3f}; {args.steps} steps, B={B}, lr={args.lr}",
           flush=True)
-    for label, seq_do, det in (
-        ("faithful: seq dropout 0.5 + all train noise", 0.5, False),
-        ("seq dropout 0.1 + all train noise          ", 0.1, False),
-        ("seq dropout 0.0 + all train noise          ", 0.0, False),
-        ("fully deterministic training (ceiling)     ", 0.5, True),
+    for label, seq_do, det, mode in (
+        ("faithful: seq dropout 0.5 + all train noise", 0.5, False, "faithful"),
+        ("seq dropout 0.1 + all train noise          ", 0.1, False, "faithful"),
+        ("seq dropout 0.0 + all train noise          ", 0.0, False, "faithful"),
+        ("fully deterministic training (ceiling)     ", 0.5, True, "faithful"),
+        ("bypass seq encoder (cand . first-his repr) ", 0.5, False, "bypass"),
+        ("faithful tail re-attached after bypass warm", 0.5, False, "reattach"),
     ):
         t0 = time.time()
-        loss, acc = run(seq_do, det, args.lr, args.steps)
+        loss, acc = run(seq_do, det, args.lr, args.steps, mode=mode)
         print(f"{label} loss {loss:.4f}  holdout acc {acc:.3f}  "
               f"({time.time() - t0:.0f}s)", flush=True)
 
