@@ -86,6 +86,86 @@ def _sync(x):
     return float(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
 
+# ---------------------------------------------------------------- regression
+# The driver saves each round's JSON line as BENCH_r{N}.json ({"parsed": ...}
+# wrapper). Each run compares its headline numbers against the newest of
+# those and emits a `regressions` field flagging >3% drops, so cross-round
+# drift (e.g. the silent -1.4% eval slide r3->r4) is visible by construction.
+
+REGRESSION_THRESHOLD = 0.03
+
+# (label, path into the result dict) — larger is better for all of these
+TRACKED_METRICS = (
+    ("unbert_eval_candidates_per_sec_per_chip", ("value",)),
+    ("miner_train_examples_per_sec_per_chip",
+     ("details", "miner_train_examples_per_sec_per_chip")),
+    ("mfu", ("details", "mfu")),
+    ("http_rps", ("details", "serving_load", "http_rps")),
+)
+
+
+def _dig(d, path):
+    for k in path:
+        if not isinstance(d, dict) or k not in d:
+            return None
+        d = d[k]
+    return d if isinstance(d, (int, float)) else None
+
+
+def load_previous_bench(root: str = "."):
+    """Newest BENCH_r{N}.json -> (parsed result dict, filename) or (None, None).
+
+    Accepts both the driver's wrapper format ({"parsed": {...}}) and a bare
+    result dict."""
+    import glob
+    import os
+    import re
+
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best, best_n = path, n
+    if best is None:
+        return None, None
+    try:
+        with open(best) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None, None
+    if isinstance(data, dict) and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return (data, os.path.basename(best)) if isinstance(data, dict) \
+        else (None, None)
+
+
+def compute_regressions(current: dict, previous: dict,
+                        threshold: float = REGRESSION_THRESHOLD):
+    """Drops >threshold on any tracked metric, as a list of records.
+
+    A metric missing on either side is skipped (a failed optional bench leg
+    must not masquerade as a regression — the leg's absence is already
+    visible in the details)."""
+    out = []
+    for label, path in TRACKED_METRICS:
+        prev = _dig(previous, path)
+        cur = _dig(current, path)
+        if prev is None or cur is None or prev <= 0:
+            continue
+        drop = (prev - cur) / prev
+        if drop > threshold:
+            out.append({
+                "metric": label,
+                "previous": prev,
+                "current": cur,
+                "drop_pct": round(100.0 * drop, 2),
+            })
+    return out
+
+
 def bench_unbert_eval(n_steps: int = 10):
     """Candidates/s/chip for UnBERT eval at the reference geometry:
     seq 300, 20 news of ≤20 tokens (entities.py:492-495), bert-base width,
@@ -680,14 +760,19 @@ def main():
         # model FLOPs only (no remat recompute credit)
         details["mfu"] = round(tflops_per_sec / peak, 4)
         details["peak_bf16_tflops"] = peak
-    print(json.dumps({
+    result = {
         "metric": "unbert_eval_candidates_per_sec_per_chip",
         "value": round(eval_cps, 2),
         "unit": "candidates/s/chip",
         "vs_baseline": round(eval_cps / GPU_BASELINE_EVAL_CANDIDATES_PER_SEC, 3),
         "mfu": details.get("mfu"),
         "details": details,
-    }))
+    }
+    prev, prev_name = load_previous_bench()
+    if prev is not None:
+        result["regressions"] = compute_regressions(result, prev)
+        result["regressions_vs"] = prev_name
+    print(json.dumps(result))
     done.set()
 
 
