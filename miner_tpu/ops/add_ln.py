@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from miner_tpu.ops.common import force_interpret
+
 
 def _threshold(rate: float) -> int:
     return min(int(rate * 4294967296.0), 4294967295)
@@ -130,7 +132,7 @@ def _call_fwd(x, h, scale, bias, seed, rate, eps, interpret, max_rows=512):
         out_specs=pl.BlockSpec((BT, D), lambda n: (n, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, D), x.dtype),
-        interpret=interpret,
+        interpret=interpret or force_interpret(),
     )(seed, x, h, scale.reshape(1, D), bias.reshape(1, D))
 
 
@@ -161,7 +163,7 @@ def _call_bwd(x, h, scale, seed, dy, rate, eps, interpret, max_rows=512):
             jax.ShapeDtypeStruct((8, D), jnp.float32),
             jax.ShapeDtypeStruct((8, D), jnp.float32),
         ),
-        interpret=interpret,
+        interpret=interpret or force_interpret(),
     )(seed, x, h, scale.reshape(1, D), dy)
     return dx, dh, jnp.sum(dscale_p, axis=0), jnp.sum(dbias_p, axis=0)
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from miner_tpu.ops.common import on_tpu
+from miner_tpu.ops.common import force_interpret, on_tpu
 
 MASK_FILL = -10000.0
 
@@ -127,7 +127,7 @@ def _ff_pallas(q, k, wqa, bqa, wka, bka, mask, num_heads, interpret):
         out_specs=pl.BlockSpec(
             (1, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        interpret=interpret,
+        interpret=interpret or force_interpret(),
     )(q, k, wqa, bqa, wka, bka, mask3)
 
 

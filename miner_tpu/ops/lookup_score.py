@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from miner_tpu.ops.common import on_tpu
+from miner_tpu.ops.common import force_interpret, on_tpu
 
 
 def lookup_score_reference(
@@ -135,7 +135,7 @@ def _lookup_pallas(cache, cand_idx, interests, interpret):
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, C_pad, K_pad), interests.dtype),
         grid_spec=grid_spec,
-        interpret=interpret,
+        interpret=interpret or force_interpret(),
     )(cand_idx, interests, cache3)
     return out[:, :C, :K]
 

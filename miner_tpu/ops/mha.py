@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from miner_tpu.ops.common import on_tpu
+from miner_tpu.ops.common import force_interpret, on_tpu
 
 NEG_INF = -1e9
 
@@ -187,7 +187,7 @@ def _call_fwd(qkv, mask, seed, num_heads, dropout_rate, interpret=False, seqs=1)
         out_specs=pl.BlockSpec((1, L, D), lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, L, D), qkv.dtype),
-        interpret=interpret,
+        interpret=interpret or force_interpret(),
     )(seed, qkv, mask)
 
 
@@ -212,7 +212,7 @@ def _call_bwd(qkv, mask, seed, dout, num_heads, dropout_rate, interpret=False, s
         out_specs=pl.BlockSpec((1, L, D3), lambda n: (n, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, L, D3), qkv.dtype),
-        interpret=interpret,
+        interpret=interpret or force_interpret(),
     )(seed, qkv, mask, dout)
 
 

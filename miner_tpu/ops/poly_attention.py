@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from miner_tpu.ops.common import on_tpu
+from miner_tpu.ops.common import force_interpret, on_tpu
 
 NEG_INF = -1e9
 
@@ -102,7 +102,7 @@ def _poly_pallas(emb, w, codes, mask, bias, interpret: bool):
         out_specs=pl.BlockSpec(
             (1, K, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        interpret=interpret,
+        interpret=interpret or force_interpret(),
     )(emb, w, codes, mask3, bias3)
 
 

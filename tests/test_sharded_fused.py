@@ -100,6 +100,17 @@ def test_sharded_fused_plm_long_sequence(rng, mesh8, monkeypatch):
     _compare_plm(rng, mesh8, monkeypatch, B=8, L=128)
 
 
+def test_driver_dryrun_fused_leg(mesh8):
+    """The driver-facing fused leg (__graft_entry__._dryrun_fused_miner) runs
+    on a virtual mesh via the supported MINER_TPU_FORCE_INTERPRET mechanism —
+    no pytest monkeypatching — and checks the fused program computes the same
+    loss as the XLA path. This is exactly what MULTICHIP_r{N} certifies."""
+    import importlib
+
+    graft = importlib.import_module("__graft_entry__")
+    graft._dryrun_fused_miner(mesh8)
+
+
 def test_sharded_fused_full_miner_matches_unfused(rng, mesh8, monkeypatch):
     """End-to-end: the full Miner model (poly-attention + category bias +
     target-aware scoring) with a mesh-fused PLM tower — gradients through the
