@@ -71,9 +71,20 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve_max_batch", type=int, default=32,
                    help="max concurrent requests coalesced into one device "
                         "call (1 disables micro-batching)")
-    p.add_argument("--serve_batch_wait_ms", type=float, default=2.0,
+    p.add_argument("--serve_batch_wait_ms", type=float, default=0.0,
                    help="how long the batcher waits after the first request "
-                        "of a drain window for more to coalesce")
+                        "of a drain window for more to coalesce. Default 0: "
+                        "sweep whatever is already queued and go — the "
+                        "in-flight device call is itself the batching "
+                        "window (arrivals during it pile up for the next "
+                        "drain), so a positive wait only adds latency "
+                        "unless arrival bursts are shorter than the device "
+                        "call")
+    p.add_argument("--serve_http_impl", type=str, default="async",
+                   choices=["async", "threaded"],
+                   help="HTTP front-end: single-threaded asyncio event loop "
+                        "(default; no per-connection handler threads) or "
+                        "the stdlib ThreadingHTTPServer fallback")
     p.add_argument("--serve_warmup_slates", type=int, nargs="*", default=[],
                    help="pre-compile scoring programs for these slate sizes "
                         "(every batch bucket each, plus the corpus top-k "

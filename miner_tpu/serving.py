@@ -53,10 +53,11 @@ from miner_tpu.utils import candidate_bucket  # noqa: F401  (canonical home)
 class _Pending:
     """One enqueued scoring request (internal to MicroBatcher)."""
 
-    __slots__ = ("cand", "his", "k", "done", "scores", "error", "t0")
+    __slots__ = ("cand", "his", "k", "done", "scores", "error", "t0",
+                 "on_done")
 
     def __init__(self, cand: Optional[np.ndarray], his: np.ndarray,
-                 k: Optional[int] = None):
+                 k: Optional[int] = None, on_done: Optional[Callable] = None):
         self.cand = cand  # (C,) candidate rows, C <= some bucket (slate req)
         self.his = his  # (H,) history rows, fixed H
         self.k = k  # corpus top-k request when not None (cand is None)
@@ -64,6 +65,10 @@ class _Pending:
         self.scores = None  # (C,) scores | (vals (k,), rows (k,)) for top-k
         self.error: Optional[BaseException] = None
         self.t0 = time.monotonic()  # enqueue time, for latency stats
+        # completion callback invoked from the worker thread after scores/
+        # error are set — the asyncio front-end bridges to its event loop
+        # here (loop.call_soon_threadsafe) instead of blocking on `done`
+        self.on_done = on_done
 
 
 class MicroBatcher:
@@ -74,11 +79,19 @@ class MicroBatcher:
     the MXU nearly idle — the measured cached-serving throughput at B=256
     is ~100x the B=1 rate per request.  Requests from the server's handler
     threads enqueue here; a worker thread drains up to ``max_batch`` of
-    them (waiting at most ``max_wait_ms`` after the first arrival so an
-    idle server adds negligible latency), pads them into one
-    ``(B_bucket, C_bucket)`` batch (power-of-two buckets keep the number of
-    compiled shapes at ``log2(max_batch) * log2(corpus)``), runs ONE device
-    call, and distributes the per-request score rows.
+    them, pads them into one ``(B_bucket, C_bucket)`` batch (power-of-two
+    buckets keep the number of compiled shapes at
+    ``log2(max_batch) * log2(corpus)``), runs ONE device call, and
+    distributes the per-request score rows.
+
+    ``max_wait_ms`` defaults to 0: the drain sweeps whatever is ALREADY
+    queued and dispatches immediately — the in-flight device call is
+    itself the coalescing window (arrivals during it queue for the next
+    drain), so under load batches stay full while an unloaded request
+    never pays an artificial wait (measured: the former 2 ms default was
+    ~half the unloaded request latency on the CPU fixture). A positive
+    wait only helps when request bursts arrive within a window shorter
+    than one device call.
 
     ``score_fn(cand_idx (B, C), his_idx (B, H)) -> (B, C) scores``; padding
     rows use index 0 (the pad news) and are dropped before results are
@@ -88,7 +101,7 @@ class MicroBatcher:
 
     def __init__(self, score_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
                  his_length: int, max_batch: int = 32,
-                 max_wait_ms: float = 2.0,
+                 max_wait_ms: float = 0.0,
                  topk_fn: Optional[Callable[[np.ndarray, int],
                                             Tuple[np.ndarray, np.ndarray]]] = None):
         self.score_fn = score_fn
@@ -126,7 +139,20 @@ class MicroBatcher:
         item = _Pending(None, np.asarray(his, np.int32), k=int(k))
         return self._wait(item)
 
-    def _wait(self, item: _Pending):
+    def submit_callback(self, cand: Optional[Sequence[int]], his: np.ndarray,
+                        k: Optional[int] = None,
+                        on_done: Optional[Callable] = None) -> _Pending:
+        """Non-blocking enqueue: ``on_done(item)`` fires from the worker
+        thread once ``item.scores`` / ``item.error`` is set. The asyncio
+        front-end's bridge into the batcher."""
+        item = _Pending(
+            None if cand is None else np.asarray(cand, np.int32),
+            np.asarray(his, np.int32),
+            k=None if k is None else int(k), on_done=on_done)
+        self._enqueue(item)
+        return item
+
+    def _enqueue(self, item: _Pending):
         # the submit lock orders every enqueue before close()'s shutdown
         # sentinel — a submit racing close() either lands ahead of the
         # sentinel (worker drains it) or raises, never hangs
@@ -134,11 +160,12 @@ class MicroBatcher:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
             self._q.put(item)
+
+    def _wait(self, item: _Pending):
+        self._enqueue(item)
         item.done.wait()
         if item.error is not None:
             raise item.error
-        with self._lock:
-            self._latencies.append(time.monotonic() - item.t0)
         return item.scores
 
     def stats(self) -> Dict:
@@ -210,8 +237,23 @@ class MicroBatcher:
                 self.requests += B
                 self.device_batches += 1
         finally:
+            self._complete(group)
+
+    def _complete(self, group: List[_Pending]):
+        """Record latency (enqueue -> scores ready), release blocking
+        waiters, fire async completion callbacks."""
+        now = time.monotonic()
+        with self._lock:
             for it in group:
-                it.done.set()
+                if it.error is None:
+                    self._latencies.append(now - it.t0)
+        for it in group:
+            it.done.set()
+            if it.on_done is not None:
+                try:
+                    it.on_done(it)
+                except Exception:  # a bridge failure must not kill the worker
+                    pass
 
     def _topk_group(self, group: List[_Pending], k_bucket: int):
         """One batched whole-corpus top-k call for same-k-bucket requests;
@@ -236,8 +278,7 @@ class MicroBatcher:
                 self.requests += B
                 self.device_batches += 1
         finally:
-            for it in group:
-                it.done.set()
+            self._complete(group)
 
     def _run(self):
         while True:
@@ -366,13 +407,11 @@ class ScoringService:
             raise KeyError(f"unknown news id {nid!r}")
         return row
 
-    def score(
-        self,
-        history: Sequence[str],
-        candidates: Optional[Sequence[str]] = None,
-        topk: Optional[int] = None,
-    ) -> List[Tuple[str, float]]:
-        """Ranked (news_id, score) for one request."""
+    def _prepare(self, history: Sequence[str],
+                 candidates: Optional[Sequence[str]],
+                 topk: Optional[int]):
+        """Validate + resolve one request into a submission plan (the
+        CPU-side half shared by the blocking and async paths)."""
         if self.ctx.kind == "unbert":
             if candidates is None:
                 raise ValueError(
@@ -393,10 +432,7 @@ class ScoringService:
             # chip; concurrent top-k requests coalesce through the
             # micro-batcher (k bucketed so distinct topk values share
             # compiled programs)
-            k = min(topk, self.num_news - 1)
-            vals, rows = self.batcher.submit_topk(his_row, k)
-            return [(self._row_to_id.get(int(r), str(int(r))), float(v))
-                    for v, r in zip(vals, rows)]
+            return ("topk", his_row, min(topk, self.num_news - 1), None)
 
         if candidates is not None:
             cand = [self._idx_of(n) for n in candidates]
@@ -404,18 +440,228 @@ class ScoringService:
         else:
             cand = list(range(1, self.num_news))  # skip the pad row 0
             cand_ids = [self._row_to_id.get(i, str(i)) for i in cand]
-        if not cand:
-            return []
+        return ("slate", his_row, cand, cand_ids)
 
-        scores = self.batcher.submit(cand, his_row)
+    def _finish_topk(self, vals, rows) -> List[Tuple[str, float]]:
+        return [(self._row_to_id.get(int(r), str(int(r))), float(v))
+                for v, r in zip(vals, rows)]
+
+    @staticmethod
+    def _finish_slate(cand_ids, scores, topk) -> List[Tuple[str, float]]:
         order = np.argsort(-scores)
         if topk is not None:
             order = order[:topk]
         return [(cand_ids[i], float(scores[i])) for i in order]
 
+    def score(
+        self,
+        history: Sequence[str],
+        candidates: Optional[Sequence[str]] = None,
+        topk: Optional[int] = None,
+    ) -> List[Tuple[str, float]]:
+        """Ranked (news_id, score) for one request."""
+        plan = self._prepare(history, candidates, topk)
+        if plan[0] == "topk":
+            _, his_row, k, _ = plan
+            vals, rows = self.batcher.submit_topk(his_row, k)
+            return self._finish_topk(vals, rows)
+        _, his_row, cand, cand_ids = plan
+        if not cand:
+            return []
+        scores = self.batcher.submit(cand, his_row)
+        return self._finish_slate(cand_ids, scores, topk)
 
-def make_http_server(service: ScoringService, host: str,
-                     port: int) -> ThreadingHTTPServer:
+    async def score_async(
+        self,
+        history: Sequence[str],
+        candidates: Optional[Sequence[str]] = None,
+        topk: Optional[int] = None,
+    ) -> List[Tuple[str, float]]:
+        """``score`` for the asyncio front-end: the event-loop thread never
+        blocks — completion comes back via the micro-batcher's worker-thread
+        callback bridged with ``call_soon_threadsafe``."""
+        import asyncio
+
+        plan = self._prepare(history, candidates, topk)
+        if plan[0] == "slate" and not plan[2]:
+            return []
+        loop = asyncio.get_running_loop()
+        fut: "asyncio.Future" = loop.create_future()
+
+        def on_done(item: _Pending):
+            def resolve():
+                if fut.cancelled():  # client went away mid-score
+                    return
+                if item.error is not None:
+                    fut.set_exception(item.error)
+                else:
+                    fut.set_result(item.scores)
+            loop.call_soon_threadsafe(resolve)
+
+        if plan[0] == "topk":
+            _, his_row, k, _ = plan
+            if self.batcher.topk_fn is None:
+                raise RuntimeError("MicroBatcher built without a topk_fn")
+            self.batcher.submit_callback(None, his_row, k=k, on_done=on_done)
+            vals, rows = await fut
+            return self._finish_topk(vals, rows)
+        _, his_row, cand, cand_ids = plan
+        self.batcher.submit_callback(cand, his_row, on_done=on_done)
+        scores = await fut
+        return self._finish_slate(cand_ids, scores, topk)
+
+
+_HTTP_REASON = {200: b"OK", 400: b"Bad Request", 404: b"Not Found",
+                500: b"Internal Server Error"}
+
+
+class AsyncHTTPServer:
+    """Single-threaded asyncio HTTP/1.1 front-end (the default).
+
+    The ThreadingHTTPServer fallback spawns one handler thread per
+    connection; under N concurrent keep-alive clients that is N threads
+    time-slicing one GIL with the micro-batcher worker — measured as the
+    dominant serving-path overhead on a small-core host (BENCH_r04:
+    http_rps 57% of the in-process coalesced rate). Here ONE event-loop
+    thread parses requests and writes responses; scoring never blocks the
+    loop (ScoringService.score_async bridges the micro-batcher's worker
+    completion back via call_soon_threadsafe).
+
+    Duck-type-compatible with the stdlib server where the CLI/tests/bench
+    touch it: ``server_address``, ``serve_forever()`` (blocking; run it in
+    a thread), ``shutdown()`` (threadsafe).
+    """
+
+    def __init__(self, service: ScoringService, host: str, port: int):
+        import socket
+
+        self.service = service
+        # bind synchronously so server_address is valid on construction
+        # (callers read it before/while serve_forever spins up)
+        self._sock = socket.create_server((host, port))
+        self._sock.setblocking(False)
+        self.server_address = self._sock.getsockname()
+        self._loop = None
+        self._stop = None
+        self._done = threading.Event()
+        self._started = threading.Lock()
+
+    # ------------------------------------------------------------ lifecycle
+    def serve_forever(self):
+        import asyncio
+
+        asyncio.run(self._main())
+
+    async def _main(self):
+        import asyncio
+
+        self._loop = asyncio.get_running_loop()
+        self._stop = asyncio.Event()
+        server = await asyncio.start_server(self._handle_conn,
+                                            sock=self._sock)
+        try:
+            await self._stop.wait()
+        finally:
+            server.close()
+            await server.wait_closed()
+            self._done.set()
+
+    def shutdown(self):
+        """Threadsafe stop; returns once the loop has wound down."""
+        loop, stop = self._loop, self._stop
+        if loop is None:  # never started: just release the socket
+            self._sock.close()
+            self._done.set()
+            return
+        loop.call_soon_threadsafe(stop.set)
+        self._done.wait(timeout=5)
+
+    # ------------------------------------------------------------- protocol
+    async def _handle_conn(self, reader, writer):
+        import asyncio
+        import socket as socket_mod
+
+        sock = writer.get_extra_info("socket")
+        if sock is not None:
+            # tiny request/response pairs interact badly with Nagle +
+            # delayed ACK (up to ~40ms added per round trip)
+            sock.setsockopt(socket_mod.IPPROTO_TCP, socket_mod.TCP_NODELAY, 1)
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                if line in (b"\r\n", b"\n"):
+                    continue
+                parts = line.split()
+                if len(parts) < 3:
+                    break
+                method, path, version = (parts[0].decode("latin1"),
+                                         parts[1].decode("latin1"),
+                                         parts[2].decode("latin1"))
+                headers = {}
+                while True:
+                    h = await reader.readline()
+                    if h in (b"\r\n", b"\n", b""):
+                        break
+                    k, _, v = h.decode("latin1").partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                length = int(headers.get("content-length", 0) or 0)
+                body = await reader.readexactly(length) if length else b""
+                close = (headers.get("connection", "").lower() == "close"
+                         or version == "HTTP/1.0")
+                code, payload = await self._dispatch(method, path, body)
+                data = json.dumps(payload).encode()
+                writer.write(
+                    b"HTTP/1.1 %d %s\r\n"
+                    b"Content-Type: application/json\r\n"
+                    b"Content-Length: %d\r\n%s\r\n"
+                    % (code, _HTTP_REASON.get(code, b"?"), len(data),
+                       b"Connection: close\r\n" if close else b"")
+                    + data)
+                await writer.drain()
+                if close:
+                    break
+        except (asyncio.IncompleteReadError, ConnectionResetError,
+                BrokenPipeError, TimeoutError):
+            pass  # client went away mid-request; nothing to answer
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    async def _dispatch(self, method: str, path: str, body: bytes):
+        service = self.service
+        if method == "GET":
+            if path == "/healthz":
+                return 200, {"status": "ok", "num_news": service.num_news,
+                             **service.batcher.stats()}
+            return 404, {"error": f"unknown path {path!r}"}
+        if method != "POST" or path != "/score":
+            return 404, {"error": f"unknown path {path!r}"}
+        try:
+            req = json.loads(body or b"{}")
+            history = req.get("history") or []
+            if not isinstance(history, list):
+                raise ValueError("'history' must be a list of news ids")
+            candidates = req.get("candidates")
+            if candidates is not None and not isinstance(candidates, list):
+                raise ValueError("'candidates' must be a list or null")
+            topk = req.get("topk")
+            if topk is not None and (not isinstance(topk, int)
+                                     or isinstance(topk, bool)
+                                     or topk < 1):
+                raise ValueError("'topk' must be a positive integer or null")
+            results = await service.score_async(history, candidates, topk)
+        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            return 400, {"error": str(e)}
+        return 200, {"results": results}
+
+
+def make_threaded_http_server(service: ScoringService, host: str,
+                              port: int) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
         # HTTP/1.1 keep-alive: without it every request pays a TCP
         # handshake + a fresh handler thread, which measured ~4x below the
@@ -474,6 +720,19 @@ def make_http_server(service: ScoringService, host: str,
     return ThreadingHTTPServer((host, port), Handler)
 
 
+def make_http_server(service: ScoringService, host: str, port: int,
+                     impl: str = "async"):
+    """The HTTP front-end: single-threaded asyncio event loop by default
+    (``--serve_http_impl``), stdlib ThreadingHTTPServer as the fallback.
+    Both speak keep-alive HTTP/1.1 with the same JSON API and expose the
+    same ``server_address`` / ``serve_forever`` / ``shutdown`` surface."""
+    if impl == "threaded":
+        return make_threaded_http_server(service, host, port)
+    if impl != "async":
+        raise ValueError(f"unknown serve_http_impl {impl!r}")
+    return AsyncHTTPServer(service, host, port)
+
+
 def serve(trainer, host: str, port: int) -> None:
     """Build the service (corpus encode happens here) and serve forever."""
     service = ScoringService(trainer)
@@ -486,7 +745,8 @@ def serve(trainer, host: str, port: int) -> None:
         n = service.warmup(slates, topk=topk or None)
         print(f"warmed {n} scoring programs "
               f"(slates {slates}, topk {topk or 'off'})")
-    server = make_http_server(service, host, port)
+    server = make_http_server(service, host, port,
+                              impl=getattr(a, "serve_http_impl", "async"))
     print(f"serving {service.num_news} news on http://{host}:{server.server_address[1]}")
     try:
         server.serve_forever()

@@ -679,6 +679,32 @@ def test_int8_cache_persists_and_reloads(served, tmp_path):
         plain.batcher.close()
 
 
+def test_threaded_fallback_matches_async(served):
+    """--serve_http_impl threaded: the stdlib ThreadingHTTPServer fallback
+    serves the same API with the same results as the default asyncio
+    front-end (which `served` runs)."""
+    from miner_tpu.serving import make_http_server
+
+    url, service, _, _ = served
+    expect_status, expect_body = _post(
+        url, {"history": ["N1"], "candidates": ["N7", "N2"]})
+    assert expect_status == 200
+
+    server = make_http_server(service, "127.0.0.1", 0, impl="threaded")
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        turl = f"http://127.0.0.1:{server.server_address[1]}"
+        status, body = _post(turl,
+                             {"history": ["N1"], "candidates": ["N7", "N2"]})
+        assert status == 200
+        assert body == expect_body
+        status, body = _post(turl, {"history": ["NOPE"], "candidates": ["N7"]})
+        assert status == 400
+    finally:
+        server.shutdown()
+
+
 def test_http_keepalive_persistent_connection(served):
     """The server speaks HTTP/1.1 with Content-Length on every reply, so one
     client connection carries many requests (error replies included) without
