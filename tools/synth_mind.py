@@ -40,11 +40,19 @@ def make_synth_mind(root: str, n_news: int = 1200, n_users: int = 300,
                     n_train_lines: int = 4000, n_eval_lines: int = 800,
                     n_topics: int = 8, hist_len: tuple = (6, 12),
                     n_neg: tuple = (6, 9), label_noise: float = 0.1,
-                    seed: int = 11) -> str:
-    assert n_topics <= len(TOPICS)
+                    seed: int = 11, topics=None) -> str:
+    """``topics``: explicit topic indices (into TOPICS) to build the corpus
+    from, e.g. ``[0, 1, 2, 3]`` vs ``[4, 5, 6, 7]`` for two corpora with
+    DISJOINT topic mixtures (domain-shift experiments: each topic has its
+    own disjoint topical vocabulary). Overrides ``n_topics``. Default: the
+    first ``n_topics`` topics (unchanged behavior)."""
+    topic_list = (list(topics) if topics is not None
+                  else list(range(n_topics)))
+    n_topics = len(topic_list)
+    assert all(0 <= t < len(TOPICS) for t in topic_list)
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
-    vocabs = [_topic_vocab(t) for t in range(n_topics)]
+    vocabs = [_topic_vocab(t) for t in topic_list]
 
     def title(topic: int, n_words: int) -> str:
         k_topical = max(1, int(round(n_words * 0.7)))
@@ -61,7 +69,8 @@ def make_synth_mind(root: str, n_news: int = 1200, n_users: int = 300,
         for i, nid in enumerate(news_ids):
             t = int(news_topic[i])
             f.write(f"{nid}\t{title(t, int(rng.integers(6, 12)))}\t"
-                    f"{TOPICS[t]}\t{title(t, int(rng.integers(10, 18)))}\n")
+                    f"{TOPICS[topic_list[t]]}\t"
+                    f"{title(t, int(rng.integers(10, 18)))}\n")
 
     by_topic = [np.flatnonzero(news_topic == t) for t in range(n_topics)]
     user_pref = rng.integers(0, n_topics, size=(n_users, 2))
@@ -122,7 +131,7 @@ def make_synth_mind(root: str, n_news: int = 1200, n_users: int = 300,
         user2id[f"U{i}"] = i + 1
     category2id = {"pad": 0, "unk": 1}
     for i in range(n_topics):
-        category2id[TOPICS[i]] = i + 2
+        category2id[TOPICS[topic_list[i]]] = i + 2
     with open(os.path.join(root, "user2id.json"), "w") as f:
         json.dump(user2id, f)
     with open(os.path.join(root, "category2id.json"), "w") as f:

@@ -135,9 +135,31 @@ def main():
                          "BERT, props/UniSRec.yaml)")
     ap.add_argument("--report", default=None,
                     help="append the markdown summary to this file")
+    ap.add_argument("--topics", default=None,
+                    help="comma-separated topic indices for the main "
+                         "(pretrain-domain) corpus, e.g. 0,1,2,3")
+    ap.add_argument("--stage_c_data", default=None,
+                    help="finetune stage C on THIS corpus instead of the "
+                         "pretrain corpus (domain-shift experiment; "
+                         "generated if absent)")
+    ap.add_argument("--stage_c_topics", default=None,
+                    help="topic indices for generating --stage_c_data, "
+                         "e.g. 4,5,6,7 (disjoint from --topics = a true "
+                         "domain shift)")
+    ap.add_argument("--stage_c_events", type=int, default=None,
+                    help="train lines for the stage-C corpus "
+                         "(default: --events)")
+    ap.add_argument("--stage_c_baseline", action="store_true",
+                    help="before stage C, measure the artifact's OWN "
+                         "function on the finetune corpus (1 epoch at lr 0 "
+                         "under the same freeze) — the epoch-0 line the "
+                         "adaptation delta is measured against")
     args = ap.parse_args()
     if args.plm_preset:
         globals().update(PLM_PRESET=args.plm_preset)
+
+    def _topic_list(spec):
+        return ([int(x) for x in spec.split(",")] if spec else None)
 
     from tools.synth_mind import make_synth_mind
 
@@ -146,8 +168,24 @@ def main():
         t0 = time.time()
         make_synth_mind(data, n_news=args.news, n_users=args.events // 10,
                         n_train_lines=args.events,
-                        n_eval_lines=args.eval_lines, hist_len=(30, 50))
+                        n_eval_lines=args.eval_lines, hist_len=(30, 50),
+                        topics=_topic_list(args.topics))
         print(f"corpus generated in {time.time() - t0:.0f}s", flush=True)
+
+    c_data = data
+    if args.stage_c_data:
+        c_data = args.stage_c_data
+        if not os.path.exists(os.path.join(c_data, "behaviors.tsv")):
+            t0 = time.time()
+            c_events = args.stage_c_events or args.events
+            make_synth_mind(c_data, n_news=args.news,
+                            n_users=c_events // 10,
+                            n_train_lines=c_events,
+                            n_eval_lines=args.eval_lines, hist_len=(30, 50),
+                            topics=_topic_list(args.stage_c_topics),
+                            seed=23)
+            print(f"stage-C corpus generated in {time.time() - t0:.0f}s",
+                  flush=True)
 
     report = []
     if args.stage_a_ckpt:
@@ -181,8 +219,24 @@ def main():
     print(f"stage B: exported {n} tensors -> {pth} (RecBole layout)")
     report += [f"\n### stage B — RecBole-layout export: {n} tensors\n"]
 
+    shifted = " [domain-shifted corpus]" if c_data != data else ""
+    if args.stage_c_baseline:
+        # the artifact's own function on the finetune corpus: 1 epoch at
+        # lr 0 under the same freeze — nothing moves, the eval row is the
+        # epoch-0 line adaptation is measured against
+        b_dir = os.path.join(args.out, f"unisrec_cbase{args.tag}")
+        secs = _run(_argv(c_data, b_dir, 1, 0.0, args.seed, args.batch,
+                          extra=("--unisrec_pretrained_path", pth)))
+        _, brows = _epoch_rows(b_dir)
+        base = brows[max(brows)]
+        print(f"stage C baseline (artifact function on finetune corpus, "
+              f"lr 0, {secs:.0f}s): auc {float(base['auc']):.4f}")
+        report += [f"\n### stage C baseline — artifact function on the "
+                   f"finetune corpus{shifted} (lr 0, {secs:.0f}s)\n",
+                   _table(brows)]
+
     c_dir = os.path.join(args.out, f"unisrec_c_lr{args.stage_c_lr}{args.tag}")
-    secs = _run(_argv(data, c_dir, args.stage_c_epochs, args.stage_c_lr,
+    secs = _run(_argv(c_data, c_dir, args.stage_c_epochs, args.stage_c_lr,
                       args.seed, args.batch,
                       extra=("--unisrec_pretrained_path", pth)))
     rd, rows = _epoch_rows(c_dir)
@@ -193,7 +247,7 @@ def main():
     print(_table(rows))
     report += [f"\n### stage C — finetune under the reference freeze "
                f"(MoE-only, lr {args.stage_c_lr}, {args.stage_c_epochs} ep, "
-               f"{secs:.0f}s)\n", _table(rows)]
+               f"{secs:.0f}s){shifted}\n", _table(rows)]
     if args.report:
         open(args.report, "a").write("\n".join(report) + "\n")
         print(f"report appended -> {args.report}")
