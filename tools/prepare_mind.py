@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from miner_tpu import constants  # noqa: E402
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--raw_behaviors", required=True)
     ap.add_argument("--raw_news", required=True)
@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--min_history", type=int, default=1,
                     help="drop lines with shorter click history")
     ap.add_argument("--seed", type=int, default=36)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out_dir, exist_ok=True)
