@@ -22,7 +22,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 
-def build_step(B=16, rbg=True, gelu=True):
+def build_step(B=16, rbg=True, gelu=True, remat=True):
     if rbg:
         jax.config.update("jax_default_prng_impl", "rbg")
     from __graft_entry__ import _build_miner, _synthetic_batch
@@ -34,7 +34,7 @@ def build_step(B=16, rbg=True, gelu=True):
     vocab, n_cat = 30522, 32
     rng = np.random.default_rng(0)
     model = _build_miner(plm_preset="roberta_base", vocab=vocab, n_cat=n_cat,
-                         dtype=jnp.bfloat16, remat=True, use_fused=True,
+                         dtype=jnp.bfloat16, remat=remat, use_fused=True,
                          gelu_approx=gelu)
     batch = _synthetic_batch(rng, B, C, H, Lt, Ls, vocab, n_cat)
     label = jnp.asarray(np.eye(C, dtype=np.float32)[rng.integers(0, C, size=B)])
@@ -95,8 +95,13 @@ def analyze(outdir: str, top: int = 25):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     outdir = args[0] if args else "/tmp/jax_trace"
+    B = 16
+    for a in sys.argv[1:]:
+        if a.startswith("--B="):
+            B = int(a.split("=")[1])
+    remat = "--no-remat" not in sys.argv
     if "--analyze-only" not in sys.argv:
-        train_step, state, batch, label = build_step()
+        train_step, state, batch, label = build_step(B=B, remat=remat)
         state, loss = train_step(state, batch, label)
         float(loss)
         jax.profiler.start_trace(outdir)
