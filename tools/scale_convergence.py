@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--legacy_history_layout", action="store_true",
                     help="run on the reference's pads-first history rows "
                          "(for layout A/Bs)")
+    ap.add_argument("--pretrained_embedding", default=None,
+                    help="transformers-format checkpoint dir to warm-start "
+                         "the PLM tower (at-scale warm-start legs)")
     ap.add_argument("--tag", default="", help="suffix for the run dir")
     ap.add_argument("--parse_only", action="store_true",
                     help="build + parse the trainer argv and exit (wiring "
@@ -129,6 +132,8 @@ def main():
         argv += ["--compute_dtype", "float32", "--no-fused_kernels"]
     if args.legacy_history_layout:
         argv += ["--legacy_history_layout"]
+    if args.pretrained_embedding:
+        argv += ["--pretrained_embedding", args.pretrained_embedding]
 
     if args.parse_only:
         parsed = make_parser().parse_args(argv)
