@@ -71,15 +71,15 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve_max_batch", type=int, default=32,
                    help="max concurrent requests coalesced into one device "
                         "call (1 disables micro-batching)")
-    p.add_argument("--serve_batch_wait_ms", type=float, default=0.0,
+    p.add_argument("--serve_batch_wait_ms", type=float, default=None,
                    help="how long the batcher waits after the first request "
-                        "of a drain window for more to coalesce. Default 0: "
-                        "sweep whatever is already queued and go — the "
-                        "in-flight device call is itself the batching "
-                        "window (arrivals during it pile up for the next "
-                        "drain), so a positive wait only adds latency "
-                        "unless arrival bursts are shorter than the device "
-                        "call")
+                        "of a drain window for more to coalesce. Default: "
+                        "ADAPTIVE — ~10%% of the rolling device-call "
+                        "duration (capped 20ms), so a fast backend pays "
+                        "~zero unloaded latency while a high-latency "
+                        "device (e.g. a remote TPU tunnel) keeps full "
+                        "batches. A number (including 0) is honored "
+                        "verbatim")
     p.add_argument("--serve_http_impl", type=str, default="async",
                    choices=["async", "threaded"],
                    help="HTTP front-end: single-threaded asyncio event loop "

@@ -679,6 +679,36 @@ def test_int8_cache_persists_and_reloads(served, tmp_path):
         plain.batcher.close()
 
 
+def test_adaptive_drain_window_tracks_call_duration():
+    """Default (max_wait_ms=None) drain window = ~10% of the rolling
+    device-call duration, capped at 20ms: ~zero on a fast backend, batch-
+    restoring through a high-latency tunnel (where a zero wait measured a
+    2x coalescing/throughput loss)."""
+    import numpy as np
+
+    from miner_tpu.serving import MicroBatcher
+
+    mb = MicroBatcher(lambda c, h: c.astype(np.float64), his_length=2)
+    try:
+        assert mb.max_wait_s is None
+        assert mb._wait_budget() == 0.0  # no calls yet: don't wait
+        mb._call_ema_s = 0.030  # tunnel-like 30ms calls
+        assert abs(mb._wait_budget() - 0.003) < 1e-9
+        mb._call_ema_s = 1.0  # pathological: capped
+        assert mb._wait_budget() == 0.020
+        # explicit value wins verbatim, including zero
+        mb2 = MicroBatcher(lambda c, h: c.astype(np.float64), his_length=2,
+                           max_wait_ms=0)
+        mb2._call_ema_s = 0.030
+        assert mb2._wait_budget() == 0.0
+        mb2.close()
+        # the EMA actually updates from real calls
+        mb.submit([1, 2], np.zeros(2, np.int32))
+        assert mb._call_ema_s > 0.0
+    finally:
+        mb.close()
+
+
 def test_threaded_fallback_matches_async(served):
     """--serve_http_impl threaded: the stdlib ThreadingHTTPServer fallback
     serves the same API with the same results as the default asyncio
